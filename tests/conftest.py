@@ -1,11 +1,16 @@
 import os
 
-# Force a deterministic CPU platform with 8 virtual devices for sharding tests.
-# The real-TPU benchmarks live in bench.py, not the test suite.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The ambient environment pins JAX_PLATFORMS=axon (one real TPU chip through a
+# tunnel) via a sitecustomize that imports jax at interpreter startup, so env
+# vars are too late — override through jax.config instead. Tests run on a
+# virtual 8-device CPU mesh; real-TPU benchmarks live in bench.py.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import random
 
