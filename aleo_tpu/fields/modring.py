@@ -98,8 +98,10 @@ class ModRing:
             for j in range(L):
                 E[0, i, j, i + j] = 1
                 E[1, i, j, i + j + 1] = 1
-        self._conv_full = jnp.asarray(E)
-        self._conv_low = jnp.asarray(E[..., :L].copy())
+        # Stored directly as f32 (the contraction dtype) so every mul call
+        # site shares one constant instead of re-materializing casts.
+        self._conv_full = jnp.asarray(E, dtype=jnp.float32)
+        self._conv_low = jnp.asarray(E[..., :L].copy(), dtype=jnp.float32)
 
     # -- host <-> device ----------------------------------------------------
 
@@ -213,7 +215,7 @@ class ModRing:
         cols = jnp.einsum(
             "...xij,xijk->...k",
             ps.astype(jnp.float32),
-            E.astype(jnp.float32),
+            E,
             preferred_element_type=jnp.float32,
         )
         return cols.astype(jnp.uint32)

@@ -1,0 +1,45 @@
+"""Device MSM vs host oracle. All cases share one (n, c) shape so the
+compiled kernel is reused across tests."""
+
+import random
+
+import pytest
+
+from aleo_tpu import params
+from aleo_tpu.msm.msm import msm_host
+from aleo_tpu.reference.curve import G1
+from aleo_tpu.reference.msm import msm_naive
+
+N = 17
+C = 8
+
+
+def _pad(scalars, pts):
+    scalars = scalars + [0] * (N - len(scalars))
+    pts = pts + [None] * (N - len(pts))
+    return scalars, pts
+
+
+def test_msm_random_matches_oracle():
+    rng = random.Random(300)
+    G = G1.generator()
+    pts = [G1.mul(rng.randrange(1, 10_000), G) for _ in range(N)]
+    scalars = [rng.randrange(params.R) for _ in range(N)]
+    scalars[3] = 0          # zero scalar
+    pts[5] = None           # identity point
+    assert msm_host(scalars, pts, c=C) == msm_naive(scalars, pts)
+
+
+def test_msm_duplicate_digits_and_edge_scalars():
+    G = G1.generator()
+    scalars, pts = _pad([1, 1, 1, 2, 2, 3, 255, 256, params.R - 1], [G] * 9)
+    assert msm_host(scalars, pts, c=C) == msm_naive(scalars, pts)
+
+
+@pytest.mark.slow
+def test_msm_other_window_size():
+    rng = random.Random(302)
+    G = G1.generator()
+    pts = [G1.mul(rng.randrange(1, 1000), G) for _ in range(N)]
+    scalars = [rng.randrange(params.R) for _ in range(N)]
+    assert msm_host(scalars, pts, c=4) == msm_naive(scalars, pts)
