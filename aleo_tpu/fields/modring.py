@@ -272,31 +272,43 @@ class ModRing:
         out, _ = jax.lax.scan(step, acc0, bits)
         return out
 
-    def batch_inv(self, a):
-        """Batched inversion via a product tree: 3 log N batched muls.
+    def scan_mul(self, a, reverse: bool = False):
+        """Inclusive prefix product along axis 0 (Hillis-Steele under
+        fori_loop: a single mul instance in the compiled graph)."""
+        n = a.shape[0]
+        if n == 1:
+            return a
+        logn = max(1, (n - 1).bit_length())
+        iota = jnp.arange(n, dtype=jnp.int32)
+        if reverse:
+            iota = iota[::-1]
 
-        a: (N, L) with no zero entries (zeros produce garbage, as in the
-        reference's bigint batch inversion).
+        def body(d, v):
+            o = jnp.int32(1) << d
+            vs = jnp.roll(v, -o if reverse else o, axis=0)
+            prod = self.mul(v, vs)
+            valid = iota >= o
+            return self.select(valid, prod, v)
+
+        return jax.lax.fori_loop(0, logn, body, a)
+
+    def batch_inv(self, a):
+        """Batched inversion: prefix/suffix products + one Fermat inversion.
+
+        inv_i = prefix_{i-1} * suffix_{i+1} * (total)^-1. a: (N, L), no zero
+        entries (zeros produce garbage, as in the reference's bigint batch
+        inversion).
         """
         n = a.shape[0]
-        n_pad = 1 << max(1, (n - 1).bit_length())
-        pad = jnp.broadcast_to(self.one_mont, (n_pad - n, self.L))
-        x = jnp.concatenate([a, pad], axis=0)
-        # up-sweep: products of pairs per level
-        levels = [x]
-        cur = x
-        while cur.shape[0] > 1:
-            cur = self.mul(cur[0::2], cur[1::2])
-            levels.append(cur)
-        root_inv = self.inv(cur)  # (1, L)
-        # down-sweep
-        inv = root_inv
-        for lev in reversed(levels[:-1]):
-            left, right = lev[0::2], lev[1::2]
-            inv_left = self.mul(inv, right)
-            inv_right = self.mul(inv, left)
-            inv = jnp.stack([inv_left, inv_right], axis=1).reshape(-1, self.L)
-        return inv[:n]
+        if n == 1:
+            return self.inv(a)
+        pre = self.scan_mul(a)                      # (N, L), pre[i] = a0..ai
+        suf = self.scan_mul(a, reverse=True)        # suf[i] = ai..a_{n-1}
+        total_inv = self.inv(pre[-1:])              # (1, L)
+        one = jnp.broadcast_to(self.one_mont, (1, self.L))
+        pre_shift = jnp.concatenate([one, pre[:-1]], axis=0)
+        suf_shift = jnp.concatenate([suf[1:], one], axis=0)
+        return self.mul(self.mul(pre_shift, suf_shift), total_inv)
 
     # -- form conversions on device -----------------------------------------
 

@@ -1,0 +1,122 @@
+"""KZG polynomial commitments on TPU (commit/open/batch-open) + host verify.
+
+TPU-native counterpart of the polynomial-commitment layer underneath
+snarkVM's Varuna (`snarkvm-algorithms` snark/kzg modules; surfaced in the
+reference as `ProvingKey`/`VerifyingKey` bytes —
+`/root/reference/wasm/src/programs/proving_key.rs:34-42`). Commitments and
+opening proofs are MSMs over the SRS (the prover hot path, on device);
+verification is host-side pairing algebra (not hot; mirrors the reference
+verifying on CPU).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import params
+from ..curves import g1
+from ..curves.g1 import G1Points
+from ..fields.modring import FR_RING as F
+from ..msm.msm import msm
+from ..reference.curve import G1, G2, pairing_check
+from . import poly_device as pd
+from .srs import Srs
+
+R = params.R
+
+_from_mont_j = jax.jit(F.from_mont)
+
+
+@jax.jit
+def _fold_stack(stack: jnp.ndarray, gpows: jnp.ndarray) -> jnp.ndarray:
+    """sum_k gpows[k] * stack[k]: (k, n, L), (k, L) -> (n, L)."""
+    weighted = F.mul(stack, gpows[:, None, :])
+    return pd.tree_sum(weighted, axis=0)
+
+
+def _slice_powers(srs: Srs, n: int) -> G1Points:
+    return G1Points(srs.powers.x[:n], srs.powers.y[:n], srs.powers.z[:n])
+
+
+def commit(srs: Srs, coeffs: jnp.ndarray, c: int = 8) -> G1Points:
+    """Commit to a coefficient vector (n, L) Montgomery limbs: C = sum c_i [tau^i]G.
+
+    The length is padded up to a power of two so MSM kernels are compiled
+    once per size class rather than once per polynomial degree.
+    """
+    n = coeffs.shape[0]
+    assert n <= srs.max_degree + 1, "polynomial exceeds SRS degree"
+    n_pad = min(1 << max(2, (n - 1).bit_length()), srs.max_degree + 1)
+    coeffs = pd.pad_to(coeffs, max(n, n_pad))
+    raw = _from_mont_j(coeffs)
+    return msm(raw, _slice_powers(srs, coeffs.shape[0]), c=c)
+
+
+def commit_host(srs: Srs, coeffs: jnp.ndarray, c: int = 8):
+    out = commit(srs, coeffs, c=c)
+    return g1.decode_points(G1Points(out.x[None], out.y[None], out.z[None]))[0]
+
+
+def open_at(srs: Srs, coeffs: jnp.ndarray, z: jnp.ndarray, c: int = 8):
+    """Opening proof W = [q(tau)]G with q = (p - p(z))/(X - z).
+
+    Returns (W: host affine point, y: (L,) Montgomery evaluation).
+    """
+    q, y = pd.divide_by_linear_via_domain(coeffs, z)
+    w = commit_host(srs, q, c=c)
+    return w, y
+
+
+def verify(srs: Srs, commitment, z: int, y: int, proof_w) -> bool:
+    """Host pairing check: e(C - yG, H) == e(W, [tau]H - zH), i.e.
+    e(C - yG, H) * e(-W, tauH - zH) == 1."""
+    c_minus_y = G1.add(commitment, G1.neg(G1.mul(y, G1.generator())))
+    tau_minus_z = G2.add(srs.g2_tau, G2.neg(G2.mul(z, srs.g2_gen)))
+    return pairing_check(
+        [(c_minus_y, srs.g2_gen), (G1.neg(proof_w), tau_minus_z)]
+    )
+
+
+def batch_open_at(
+    srs: Srs,
+    polys: Sequence[jnp.ndarray],
+    z: jnp.ndarray,
+    gamma: jnp.ndarray,
+    c: int = 8,
+):
+    """Single opening proof for many polynomials at one point via a random
+    linear combination sum gamma^i p_i. Returns (W host point, [y_i] Mont).
+
+    gamma comes from the Fiat-Shamir transcript AFTER the evaluations are
+    absorbed (standard batching).
+    """
+    ys = [pd.eval_coeffs(p, z) for p in polys]
+    # fold polynomials: sum gamma^i p_i — stacked mul + one scan-reduction
+    max_len = max(p.shape[0] for p in polys)
+    stack = jnp.stack([pd.pad_to(p, max_len) for p in polys])  # (k, n, L)
+    gpows = pd.powers(gamma, len(polys))                        # (k, L)
+    acc = _fold_stack(stack, gpows)
+    w, _ = open_at(srs, acc, z, c=c)
+    return w, ys
+
+
+def batch_verify(
+    srs: Srs,
+    commitments: Sequence,
+    z: int,
+    ys: Sequence[int],
+    gamma: int,
+    proof_w,
+) -> bool:
+    """Host verification of a batched opening."""
+    acc_c = None
+    acc_y = 0
+    gp = 1
+    for cm, y in zip(commitments, ys):
+        acc_c = G1.add(acc_c, G1.mul(gp, cm))
+        acc_y = (acc_y + gp * y) % R
+        gp = gp * gamma % R
+    return verify(srs, acc_c, z, acc_y, proof_w)

@@ -12,6 +12,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the limb-arithmetic graphs are expensive for
+# XLA CPU to compile; cache them across processes/runs.
+os.makedirs(os.path.expanduser("~/.cache/aleo_tpu_xla"), exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/aleo_tpu_xla"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 import random
 
 import pytest
