@@ -212,11 +212,16 @@ class ModRing:
         # column sum < 2^22, both exactly representable in f32, so the result
         # is bit-exact while hitting real matmul units (Eigen GEMM on CPU,
         # MXU on TPU) instead of naive integer loops.
+        # Precision.HIGHEST is mandatory on TPU: the default MXU f32 path
+        # truncates through single-pass bf16, which silently corrupts the
+        # integer arithmetic. HIGHEST (multi-pass bf16) is exact for 16-bit
+        # operands with <2^24 column sums.
         cols = jnp.einsum(
             "...xij,xijk->...k",
             ps.astype(jnp.float32),
             E,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return cols.astype(jnp.uint32)
 

@@ -55,6 +55,9 @@ class Domain:
         self.w_inv = pow(self.w, -1, R)
         self.n_inv = pow(n, -1, R)
         # Powers W^k, k in [0, n), Montgomery form; forward and inverse.
+        # Stored as NUMPY arrays so constructing a Domain inside a jax trace
+        # (e.g. under shard_map) captures plain constants, never tracers;
+        # device copies for the host-side wrappers are made lazily.
         pw, piw = [], []
         acc_f, acc_i = 1, 1
         for _ in range(n):
@@ -62,10 +65,32 @@ class Domain:
             piw.append(acc_i)
             acc_f = acc_f * self.w % R
             acc_i = acc_i * self.w_inv % R
-        self.wpow = F.encode(pw)
-        self.wpow_inv = F.encode(piw)
-        self.bitrev = jnp.asarray(_bitrev_perm(n), dtype=jnp.int32)
-        self.n_inv_mont = F.const(self.n_inv)
+        self.wpow_np = F.to_mont_host(pw)
+        self.wpow_inv_np = F.to_mont_host(piw)
+        self.bitrev_np = _bitrev_perm(n).astype(np.int32)
+        self.n_inv_mont_np = F.to_mont_host([self.n_inv])[0]
+        self._dev = {}
+
+    def _device(self, name: str):
+        if name not in self._dev:
+            self._dev[name] = jnp.asarray(getattr(self, name + "_np"))
+        return self._dev[name]
+
+    @property
+    def wpow(self):
+        return self._device("wpow")
+
+    @property
+    def wpow_inv(self):
+        return self._device("wpow_inv")
+
+    @property
+    def bitrev(self):
+        return self._device("bitrev")
+
+    @property
+    def n_inv_mont(self):
+        return self._device("n_inv_mont")
 
     def elements(self):
         """Host list of the domain points [W^0, ..., W^(n-1)]."""
@@ -88,7 +113,8 @@ def _transform(x: jnp.ndarray, wpow: jnp.ndarray, bitrev: jnp.ndarray) -> jnp.nd
         return x
     logn = n.bit_length() - 1
     iota = jnp.arange(n, dtype=jnp.int32)
-    x = x[bitrev]
+    wpow = jnp.asarray(wpow)      # accept numpy tables (in-trace constants)
+    x = x[jnp.asarray(bitrev)]
 
     def stage(xc, s):
         half = jnp.int32(1) << s
@@ -144,8 +170,22 @@ class Coset:
             spi.append(acci)
             acc = acc * shift % R
             acci = acci * sinv % R
-        self.shift_pows = F.encode(sp)
-        self.shift_pows_inv = F.encode(spi)
+        self.shift_pows_np = F.to_mont_host(sp)
+        self.shift_pows_inv_np = F.to_mont_host(spi)
+        self._dev = {}
+
+    def _device(self, name: str):
+        if name not in self._dev:
+            self._dev[name] = jnp.asarray(getattr(self, name + "_np"))
+        return self._dev[name]
+
+    @property
+    def shift_pows(self):
+        return self._device("shift_pows")
+
+    @property
+    def shift_pows_inv(self):
+        return self._device("shift_pows_inv")
 
 
 @functools.lru_cache(maxsize=64)
