@@ -146,7 +146,10 @@ def sharded_ntt(mesh: Mesh, x: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
         # intermediate, i.e. shard along n1.
         blocks = cols.reshape(xs.shape[1], nshards, n1 // nshards, F.L)
         blocks = jax.lax.all_to_all(blocks, "field", split_axis=1, concat_axis=0)
-        # blocks: (n2/s * s, n1/s, L) = (n2, n1/s, L)
+        # untiled all_to_all INSERTS the source-shard axis at concat_axis:
+        # (s, n2/s, n1/s, L); merging (source_shard, local_col) restores the
+        # full n2 axis in natural order.
+        blocks = blocks.reshape(n2, n1 // nshards, F.L)
         rows = jnp.moveaxis(blocks, 0, 1)              # (n1/s, n2, L)
         rows = _batched_ntt(rows)                      # size-n2 NTTs
         return jnp.moveaxis(rows, 0, 0)                # (n1/s, n2, L)
