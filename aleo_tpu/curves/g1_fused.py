@@ -52,6 +52,20 @@ def _fq():
     return lk.get_fq()
 
 
+@functools.lru_cache(maxsize=None)
+def _consts_direct():
+    """Constants as (L, 1) rows for the non-Pallas (plain XLA) path.
+
+    Off-TPU the kernel bodies run directly as jnp over the full arrays —
+    Mosaic's interpreter is far too slow to build for the CPU test mesh,
+    and the bodies are pure jnp anyway.
+    """
+    ring = _fq()
+    # numpy (not jnp) so the cached rows never capture a trace context;
+    # they enter each traced graph as fresh constants.
+    return {k: np.ascontiguousarray(v[:, None]) for k, v in ring.rows.items()}
+
+
 # ---------------------------------------------------------------------------
 # kernel bodies (traced with values; `c` = unpacked consts dict)
 # ---------------------------------------------------------------------------
@@ -110,6 +124,22 @@ def _double_body(c, x, y, z):
     return x3, y3, z3m
 
 
+def _add_sel_body(c, x1, y1, z1, x2, y2, z2, sign, valid):
+    """acc (+)= (sign ? -P : P) where valid, else acc unchanged.
+
+    sign/valid are (1, T) uint32 rows broadcast over limbs; the negate and
+    the final select fuse into the same VMEM-resident kernel as the add.
+    """
+    y2n = jnp.where(sign != 0, lk.neg(c, y2), y2)
+    rx, ry, rz = _add_body(c, x1, y1, z1, x2, y2n, z2)
+    keep = valid != 0
+    return (
+        jnp.where(keep, rx, x1),
+        jnp.where(keep, ry, y1),
+        jnp.where(keep, rz, z1),
+    )
+
+
 # ---------------------------------------------------------------------------
 # pallas_call builders (cached per padded size)
 # ---------------------------------------------------------------------------
@@ -150,8 +180,65 @@ def _build_add(m_padded: int, tile: int, interpret: bool):
         out_specs=(_coord_spec(tile),) * 3,
         interpret=interpret,
     )
-    consts = jnp.asarray(ring.const_block(tile))
+    # numpy, not jnp: this cache must never capture a trace context
+    consts = ring.const_block(tile)
     return call, consts
+
+
+def _flag_spec(tile):
+    return pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_add_sel(m_padded: int, tile: int, interpret: bool):
+    ring = _fq()
+    L = ring.L
+
+    def kernel(c_ref, x1, y1, z1, x2, y2, z2, sg, vd, ox, oy, oz):
+        c = ring.unpack_consts(c_ref[:])
+        rx, ry, rz = _add_sel_body(
+            c, x1[:], y1[:], z1[:], x2[:], y2[:], z2[:], sg[:], vd[:]
+        )
+        ox[:] = rx
+        oy[:] = ry
+        oz[:] = rz
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((L, m_padded), jnp.uint32) for _ in range(3)
+        ),
+        grid=(m_padded // tile,),
+        in_specs=[_const_spec(tile)] + [_coord_spec(tile)] * 6 + [_flag_spec(tile)] * 2,
+        out_specs=(_coord_spec(tile),) * 3,
+        interpret=interpret,
+    )
+    # numpy, not jnp: this cache must never capture a trace context
+    consts = ring.const_block(tile)
+    return call, consts
+
+
+def add_sel_lf(
+    acc: G1LF, p: G1LF, sign: jnp.ndarray, valid: jnp.ndarray, tile: int = DEFAULT_TILE
+) -> G1LF:
+    """Masked accumulate: acc + (sign ? -p : p) where valid else acc.
+
+    sign, valid: (M,) uint32/bool. The Pippenger bucket-accumulation round
+    primitive (msm/pippenger.py) — one fused kernel per round.
+    """
+    m = acc.x.shape[1]
+    if _use_interpret():
+        g1 = _g1_xla()
+        a, q = to_points(acc), to_points(p)
+        qn = g1.select(sign.astype(bool), g1.neg(q), q)
+        return from_points(g1.select(valid.astype(bool), g1.add(a, qn), a))
+    mp = _pad_size(m, tile)
+    call, consts = _build_add_sel(mp, tile, False)
+    sg = _pad_coord(sign.astype(jnp.uint32)[None, :], mp)
+    vd = _pad_coord(valid.astype(jnp.uint32)[None, :], mp)
+    args = [_pad_coord(a, mp) for a in (acc.x, acc.y, acc.z, p.x, p.y, p.z)]
+    rx, ry, rz = call(consts, *args, sg, vd)
+    return G1LF(rx[:, :m], ry[:, :m], rz[:, :m])
 
 
 @functools.lru_cache(maxsize=None)
@@ -176,7 +263,8 @@ def _build_double(m_padded: int, tile: int, interpret: bool):
         out_specs=(_coord_spec(tile),) * 3,
         interpret=interpret,
     )
-    consts = jnp.asarray(ring.const_block(tile))
+    # numpy, not jnp: this cache must never capture a trace context
+    consts = ring.const_block(tile)
     return call, consts
 
 
@@ -201,7 +289,8 @@ def _build_normalize(m_padded: int, tile: int, interpret: bool):
         out_specs=(_coord_spec(tile),) * 3,
         interpret=interpret,
     )
-    consts = jnp.asarray(ring.const_block(tile))
+    # numpy, not jnp: this cache must never capture a trace context
+    consts = ring.const_block(tile)
     return call, consts
 
 
@@ -228,13 +317,26 @@ def _pad_coord(a, m_padded):
     )
 
 
+def _g1_xla():
+    from . import g1
+
+    return g1
+
+
 def add_lf(p: G1LF, q: G1LF, tile: int = DEFAULT_TILE) -> G1LF:
-    """Complete projective addition, batched. Inputs/outputs < 2p."""
+    """Complete projective addition, batched. Inputs/outputs < 2p.
+
+    Off-TPU this routes through the einsum-based `curves.g1` ops (compact
+    XLA graphs, < p canonical — a subset of the < 2p lazy domain), because
+    both Mosaic-interpret and the inlined limb-convolution bodies are far
+    too slow for XLA CPU to compile at test sizes.
+    """
     m = p.x.shape[1]
-    interpret = _use_interpret()
-    t = min(tile, _round_up(m, 128)) if interpret else tile
-    mp = _pad_size(m, t)
-    call, consts = _build_add(mp, t, interpret)
+    if _use_interpret():
+        g1 = _g1_xla()
+        return from_points(g1.add(to_points(p), to_points(q)))
+    mp = _pad_size(m, tile)
+    call, consts = _build_add(mp, tile, False)
     args = [
         _pad_coord(a, mp) for a in (p.x, p.y, p.z, q.x, q.y, q.z)
     ]
@@ -244,10 +346,11 @@ def add_lf(p: G1LF, q: G1LF, tile: int = DEFAULT_TILE) -> G1LF:
 
 def double_lf(p: G1LF, tile: int = DEFAULT_TILE) -> G1LF:
     m = p.x.shape[1]
-    interpret = _use_interpret()
-    t = min(tile, _round_up(m, 128)) if interpret else tile
-    mp = _pad_size(m, t)
-    call, consts = _build_double(mp, t, interpret)
+    if _use_interpret():
+        g1 = _g1_xla()
+        return from_points(g1.double(to_points(p)))
+    mp = _pad_size(m, tile)
+    call, consts = _build_double(mp, tile, False)
     args = [_pad_coord(a, mp) for a in (p.x, p.y, p.z)]
     rx, ry, rz = call(consts, *args)
     return G1LF(rx[:, :m], ry[:, :m], rz[:, :m])
@@ -256,10 +359,13 @@ def double_lf(p: G1LF, tile: int = DEFAULT_TILE) -> G1LF:
 def normalize_lf(p: G1LF, tile: int = DEFAULT_TILE) -> G1LF:
     """Reduce all coordinates to canonical (< p) form."""
     m = p.x.shape[1]
-    interpret = _use_interpret()
-    t = min(tile, _round_up(m, 128)) if interpret else tile
-    mp = _pad_size(m, t)
-    call, consts = _build_normalize(mp, t, interpret)
+    if _use_interpret():
+        c = _consts_direct()
+        return G1LF(
+            lk.normalize(c, p.x), lk.normalize(c, p.y), lk.normalize(c, p.z)
+        )
+    mp = _pad_size(m, tile)
+    call, consts = _build_normalize(mp, tile, False)
     args = [_pad_coord(a, mp) for a in (p.x, p.y, p.z)]
     rx, ry, rz = call(consts, *args)
     return G1LF(rx[:, :m], ry[:, :m], rz[:, :m])

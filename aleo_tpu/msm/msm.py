@@ -1,19 +1,30 @@
-"""Pippenger multi-scalar multiplication on TPU.
+"""Pippenger multi-scalar multiplication on TPU (fused Pallas group law).
 
 TPU-native replacement for snarkVM's MSM (`snarkvm-algorithms`, SURVEY.md
 §2.8 item 3) — the single hottest kernel of the prover (every KZG commitment
 is one MSM over the SRS). GPU Pippenger relies on scatter/atomics for bucket
-accumulation; that shape does not map onto XLA, so this implementation uses a
-sort-and-segment-reduce formulation (cf. SZKP-style accelerator literature):
+accumulation; that shape does not map onto XLA, so this implementation makes
+*buckets* the vector lanes and streams points into them:
 
-  per window:  digit extraction -> sort points by digit -> segmented
-  inclusive scan with the (complete, branchless) group law -> scatter the
-  per-segment totals into buckets -> suffix-scan bucket reduction.
+  1. signed-digit window decomposition (digits in [-2^(c-1), 2^(c-1)];
+     negation of a point is free, halving the bucket count),
+  2. ONE global sort of all (window, |digit|) keys across every window
+     (W*N keys — a single XLA sort, measured ~50 us at 1.3M on v5e),
+  3. bucket start/count recovery via searchsorted over the sorted keys,
+  4. round-robin accumulation: round j gathers the j-th point of every
+     (window, bucket) segment and performs one fused Pallas
+     add-negate-select over all W*2^(c-1) bucket lanes
+     (`curves.g1_fused.add_sel_lf` — whole RCB16 add in VMEM).
+     Rounds ~= max bucket occupancy (~lambda + tail), so total group-add
+     work is linear in W*N instead of the N*log N of a scan formulation.
+  5. log-depth weighted bucket reduction (suffix scan + tree sum, both as
+     identity-padded full-width fused adds),
+  6. window combine: Horner either on device (lax.scan of c doublings per
+     window — jittable) or on host (python bigints — faster wall-clock,
+     used by the prover whose transcript lives on host anyway).
 
-Everything is dense, static-shaped and log-depth. Scans are Hillis-Steele
-loops under lax.fori_loop and the window loop runs under lax.scan, so the
-compiled graph contains each group-law instance exactly once — keeping XLA
-compile time flat in problem size.
+All shapes are static; the only data-dependent control flow is the round
+count, a `lax.while_loop` bounded by the max bucket occupancy.
 """
 
 from __future__ import annotations
@@ -25,123 +36,228 @@ import jax
 import jax.numpy as jnp
 
 from .. import params
-from ..curves import g1
+from ..curves import g1, g1_fused as gf
 from ..curves.g1 import G1Points
-from ..fields.modring import FQ_RING as F, FR_RING, ints_to_limbs
+from ..curves.g1_fused import G1LF
+from ..fields.modring import FR_RING, ints_to_limbs
 
 NBITS = params.R.bit_length()  # 253
+DEFAULT_C = 13
 
 
-def _scan_add(p: G1Points, flags: jnp.ndarray | None = None) -> G1Points:
-    """Inclusive (optionally segmented) prefix scan with the group law.
+def auto_c(n: int) -> int:
+    """Pippenger window size for an n-point MSM.
 
-    Hillis-Steele under fori_loop: log2(n) iterations, one point-add instance
-    in the compiled graph. flags[i]=True starts a segment.
+    ~log2(n) - 3 balances bucket-lane count (W * 2^(c-1)) against round
+    count (max bucket occupancy ~ n / 2^(c-1) + tail); clamped to the
+    measured sweet spot for the v5e kernel at 2^16.
     """
-    n = p.x.shape[0]
-    if n == 1:
-        return p
-    logn = max(1, (n - 1).bit_length())
-    iota = jnp.arange(n, dtype=jnp.int32)
-    f0 = flags if flags is not None else jnp.zeros((n,), bool)
-
-    def body(d, carry):
-        (x, y, z), f = carry
-        o = jnp.int32(1) << d
-        valid = iota >= o
-        xs = jnp.roll(x, o, axis=0)
-        ys = jnp.roll(y, o, axis=0)
-        zs = jnp.roll(z, o, axis=0)
-        fs = jnp.roll(f, o, axis=0)
-        s = g1.add(G1Points(x, y, z), G1Points(xs, ys, zs))
-        keep = f | ~valid  # segment start (or no left neighbor): keep own value
-        nx = F.select(keep, x, s.x)
-        ny = F.select(keep, y, s.y)
-        nz = F.select(keep, z, s.z)
-        nf = f | (valid & fs)
-        return ((nx, ny, nz), nf)
-
-    (x, y, z), _ = jax.lax.fori_loop(0, logn, body, ((p.x, p.y, p.z), f0))
-    return G1Points(x, y, z)
+    return max(3, min(DEFAULT_C, n.bit_length() - 3))
 
 
-def _extract_digits(scalars_raw: jnp.ndarray, c: int) -> jnp.ndarray:
-    """(N, FR_LIMBS) raw (non-Montgomery) 16-bit limbs -> (nwin, N) uint32
-    window digits, least-significant window first. Requires c <= 16."""
-    assert c <= 16
+def _nwin(c: int) -> int:
+    # +1 bit of headroom so the signed-digit carry out of the top window
+    # is always absorbed (relevant when c divides NBITS).
+    return math.ceil((NBITS + 1) / c)
+
+
+def signed_digits(scalars_raw: jnp.ndarray, c: int):
+    """(N, FR_LIMBS) raw 16-bit limbs -> (W, N) int32 signed window digits.
+
+    Digits lie in [-(2^(c-1)-1), 2^(c-1)] and satisfy
+    sum_w d_w 2^(cw) == scalar. Requires c <= 16.
+    """
+    assert 2 <= c <= 16
     n = scalars_raw.shape[0]
-    nwin = math.ceil(NBITS / c)
+    w_total = _nwin(c)
+    half = 1 << (c - 1)
     padded = jnp.concatenate(
-        [scalars_raw, jnp.zeros((n, 1), dtype=jnp.uint32)], axis=-1
+        [scalars_raw, jnp.zeros((n, 2), dtype=jnp.uint32)], axis=-1
     )
-    digits = []
-    for w in range(nwin):
+    carry = jnp.zeros((n,), dtype=jnp.int32)
+    out = []
+    for w in range(w_total):
         bit0 = w * c
         j0, sh = bit0 // 16, bit0 % 16
         v = padded[:, j0] | (padded[:, j0 + 1] << 16)
-        digits.append((v >> sh) & ((1 << c) - 1))
-    return jnp.stack(digits, axis=0)
+        d = ((v >> sh) & ((1 << c) - 1)).astype(jnp.int32) + carry
+        big = d > half
+        out.append(jnp.where(big, d - (1 << c), d))
+        carry = big.astype(jnp.int32)
+    return jnp.stack(out, axis=0)
+
+
+def make_table(points: G1Points) -> jnp.ndarray:
+    """(N,)-batched points -> (N, 3L) uint32 gather table [x|y|z] rows.
+
+    Row-contiguous layout so per-round point gathers read 288-byte rows
+    instead of 72 strided column gathers.
+    """
+    return jnp.concatenate([points.x, points.y, points.z], axis=-1)
+
+
+def _identity_lf(m: int) -> G1LF:
+    return gf.identity_lf(m)
+
+
+def _scan_add_buckets(p: G1LF, w: int, b: int) -> G1LF:
+    """Hillis-Steele suffix scan along the bucket axis, one add instance.
+
+    out[b'] = sum_{k >= b'} p[k] within each window. Shift amounts are
+    traced (1 << d under fori_loop) so the compiled graph holds exactly one
+    group-add regardless of log2(b) step count — critical for XLA compile
+    time on both backends.
+    """
+    L = p.x.shape[0]
+    iota = jnp.arange(b, dtype=jnp.int32)
+    ident = _identity_lf(1)
+
+    def body(d, coords):
+        x, y, z = coords
+        s = jnp.int32(1) << d
+        keep = (iota + s < b)[None, None, :]
+
+        def sh(a, fill):
+            r = jnp.roll(a.reshape(L, w, b), -s, axis=2)
+            return jnp.where(keep, r, fill).reshape(L, -1)
+
+        q = G1LF(sh(x, 0), sh(y, ident.y.reshape(L, 1, 1)), sh(z, 0))
+        r = gf.add_lf(G1LF(x, y, z), q)
+        return (r.x, r.y, r.z)
+
+    x, y, z = jax.lax.fori_loop(
+        0, b.bit_length() - 1, body, (p.x, p.y, p.z)
+    )
+    return G1LF(x, y, z)
+
+
+def _first_bucket(p: G1LF, w: int, b: int) -> G1LF:
+    L = p.x.shape[0]
+
+    def f(a):
+        return a.reshape(L, w, b)[:, :, 0]
+
+    return G1LF(f(p.x), f(p.y), f(p.z))
 
 
 @functools.partial(jax.jit, static_argnames=("c",))
-def msm(scalars_raw: jnp.ndarray, points: G1Points, c: int = 8) -> G1Points:
-    """MSM sum_i scalars[i] * points[i].
+def msm_windows(scalars_raw: jnp.ndarray, table: jnp.ndarray, c: int) -> G1LF:
+    """Per-window MSM totals: G1LF with batch axis = window index (W lanes).
+
+    scalars_raw: (N, FR_LIMBS) uint32 standard-form 16-bit limbs.
+    table: (N, 3L) gather table from `make_table`.
+    """
+    n = table.shape[0]
+    L = table.shape[1] // 3
+    w_total = _nwin(c)
+    half = 1 << (c - 1)
+    m_exp = w_total * n  # expanded (window, point) pairs
+    m_buckets = w_total * half
+
+    digits = signed_digits(scalars_raw, c)  # (W, N) int32
+    mag = jnp.abs(digits).astype(jnp.uint32)
+    sign = (digits < 0).astype(jnp.uint32)
+
+    win_ids = jnp.repeat(jnp.arange(w_total, dtype=jnp.uint32), n)
+    keys = (win_ids << c) | mag.reshape(-1)
+    pt_ids = jnp.tile(jnp.arange(n, dtype=jnp.uint32), (w_total,))
+    entries = (sign.reshape(-1) << 31) | pt_ids
+    sorted_keys, sorted_entries = jax.lax.sort_key_val(keys, entries)
+
+    # bucket (w, b) for b in 1..half -> contiguous segment in sorted order
+    qwin = jnp.repeat(jnp.arange(w_total, dtype=jnp.uint32), half)
+    qmag = jnp.tile(jnp.arange(1, half + 1, dtype=jnp.uint32), (w_total,))
+    qkeys = (qwin << c) | qmag
+    starts = jnp.searchsorted(sorted_keys, qkeys, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_keys, qkeys, side="right").astype(jnp.int32)
+    counts = ends - starts
+    max_count = jnp.max(counts)
+
+    acc0 = _identity_lf(m_buckets)
+
+    def cond(state):
+        j = state[0]
+        return j < max_count
+
+    def body(state):
+        j, ax, ay, az = state
+        pos = jnp.minimum(starts + j, m_exp - 1)
+        valid = j < counts
+        entry = sorted_entries[pos]
+        rows = table[entry & jnp.uint32(0x7FFFFFFF)]  # (M_T, 3L)
+        coords = rows.T
+        p = G1LF(coords[:L], coords[L : 2 * L], coords[2 * L :])
+        acc = gf.add_sel_lf(G1LF(ax, ay, az), p, entry >> 31, valid)
+        return j + 1, acc.x, acc.y, acc.z
+
+    _, ax, ay, az = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), acc0.x, acc0.y, acc0.z)
+    )
+    buckets = G1LF(ax, ay, az)  # lane (w*half + (b-1)) holds S_{w,b}
+
+    # weighted reduction: sum_b b*S_b == (suffix-scan applied twice)[0].
+    # Each scan is one fused-add instance under fori_loop.
+    buckets = _scan_add_buckets(buckets, w_total, half)
+    buckets = _scan_add_buckets(buckets, w_total, half)
+    return _first_bucket(buckets, w_total, half)  # (L, W)
+
+
+def _combine_device(windows: G1LF, c: int) -> G1Points:
+    """Horner window combine under jit (c doublings + 1 add per window)."""
+    wp = gf.to_points(windows)  # (W, L) limbs-last
+    w_total = wp.x.shape[0]
+
+    def step(acc, tw):
+        acc = jax.lax.fori_loop(0, c, lambda _, a: g1.double(a), acc)
+        acc = g1.add(acc, G1Points(*tw))
+        return acc, None
+
+    rev = (wp.x[::-1], wp.y[::-1], wp.z[::-1])
+    acc, _ = jax.lax.scan(step, g1.identity(()), rev)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def msm(scalars_raw: jnp.ndarray, points: G1Points, c: int | None = None) -> G1Points:
+    """MSM sum_i scalars[i] * points[i], fully on device (jittable).
 
     scalars_raw: (N, FR_LIMBS) uint32, standard (non-Montgomery) form.
     points: affine-encoded batch (z == 1, or z == 0 for identity fillers).
     Returns a single projective point (batch shape ()).
     """
-    n = scalars_raw.shape[0]
-    nbuckets = 1 << c
-    digits = _extract_digits(scalars_raw, c)          # (nwin, N)
+    if c is None:
+        c = auto_c(scalars_raw.shape[0])
+    windows = msm_windows(scalars_raw, make_table(points), c=c)
+    return _combine_device(windows, c)
 
-    def window_sum(digit):
-        order = jnp.argsort(digit)
-        d_s = digit[order]
-        pts = G1Points(points.x[order], points.y[order], points.z[order])
-        # Zero digits contribute nothing: make those points inert.
-        nonzero = d_s != 0
-        pts = g1.select(nonzero, pts, g1.identity((n,)))
-        flags = jnp.concatenate(
-            [jnp.ones((1,), bool), d_s[1:] != d_s[:-1]], axis=0
-        )
-        seg = _scan_add(pts, flags)
-        ends = jnp.concatenate([flags[1:], jnp.ones((1,), bool)], axis=0)
-        # Scatter segment totals into buckets; non-end rows go to the trash
-        # bucket at index nbuckets.
-        idx = jnp.where(ends, d_s, nbuckets)
-        empty = g1.identity((nbuckets + 1,))
-        buckets = G1Points(
-            empty.x.at[idx].set(seg.x),
-            empty.y.at[idx].set(seg.y),
-            empty.z.at[idx].set(seg.z),
-        )
-        # Weighted reduction sum_b b * B_b as a double prefix scan:
-        # suffix sums S_j, then sum of the S_j — both plain scans; total is
-        # the last lane of the second scan.
-        body = G1Points(
-            buckets.x[1:nbuckets][::-1],
-            buckets.y[1:nbuckets][::-1],
-            buckets.z[1:nbuckets][::-1],
-        )
-        suffix = _scan_add(body)
-        total = _scan_add(suffix)
-        return G1Points(total.x[-1], total.y[-1], total.z[-1])
 
-    def step(acc, digit):
-        acc = jax.lax.fori_loop(0, c, lambda _, a: g1.double(a), acc)
-        acc = g1.add(acc, window_sum(digit))
-        return acc, None
+def combine_windows_host(windows: G1LF, c: int):
+    """Decode per-window totals and Horner-combine with host bigints."""
+    from ..reference.curve import G1
 
-    acc0 = g1.identity(())
-    # windows from most significant down
-    acc, _ = jax.lax.scan(step, acc0, digits[::-1])
+    pts = gf.decode_lf(windows)  # [(x, y) | None] length W
+    acc = None
+    for p in reversed(pts):
+        for _ in range(c):
+            acc = G1.double(acc)
+        acc = G1.add(acc, p)
     return acc
 
 
-def msm_host(scalars, points_affine, c: int = 8):
+def msm_fast_host(scalars_raw: jnp.ndarray, table: jnp.ndarray, c: int | None = None):
+    """Device bucket pipeline + host window combine -> host affine point.
+
+    The throughput path used by the prover: the ~250-doubling window-combine
+    chain costs more as sequential device dispatches than as host bigint
+    math, and commitments are decoded for the Fiat-Shamir transcript anyway.
+    """
+    if c is None:
+        c = auto_c(scalars_raw.shape[0])
+    return combine_windows_host(msm_windows(scalars_raw, table, c=c), c)
+
+
+def msm_host(scalars, points_affine, c: int | None = None):
     """Convenience host wrapper: python ints / host points -> host point."""
     sc = jnp.asarray(ints_to_limbs([s % params.R for s in scalars], FR_RING.L))
     pts = g1.encode_points(points_affine)
-    out = msm(sc, pts, c=c)
-    return g1.decode_points(G1Points(out.x[None], out.y[None], out.z[None]))[0]
+    return msm_fast_host(sc, make_table(pts), c=c)

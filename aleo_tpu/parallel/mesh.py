@@ -57,11 +57,14 @@ def make_mesh(dp: int = 1, field: int | None = None, devices=None) -> Mesh:
 # ---------------------------------------------------------------------------
 
 
-def sharded_msm(mesh: Mesh, scalars_raw: jnp.ndarray, points: G1Points, c: int = 8) -> G1Points:
+def sharded_msm(mesh: Mesh, scalars_raw: jnp.ndarray, points: G1Points, c: int | None = None) -> G1Points:
     """MSM over points sharded along `field`. Returns the (replicated) sum."""
 
+    n_shard = -(-scalars_raw.shape[0] // mesh.shape['field'])
+    c_eff = c if c is not None else msm_mod.auto_c(n_shard)
+
     def local(scalars_shard, px, py, pz):
-        part = msm_mod.msm(scalars_shard, G1Points(px, py, pz), c=c)
+        part = msm_mod.msm(scalars_shard, G1Points(px, py, pz), c=c_eff)
         gx = jax.lax.all_gather(part.x, "field")   # (n_shards, L)
         gy = jax.lax.all_gather(part.y, "field")
         gz = jax.lax.all_gather(part.z, "field")

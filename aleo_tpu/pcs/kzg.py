@@ -20,7 +20,7 @@ from .. import params
 from ..curves import g1
 from ..curves.g1 import G1Points
 from ..fields.modring import FR_RING as F
-from ..msm.msm import msm
+from ..msm.msm import make_table, msm, msm_fast_host
 from ..reference.curve import G1, G2, pairing_check
 from . import poly_device as pd
 from .srs import Srs
@@ -41,7 +41,7 @@ def _slice_powers(srs: Srs, n: int) -> G1Points:
     return G1Points(srs.powers.x[:n], srs.powers.y[:n], srs.powers.z[:n])
 
 
-def commit(srs: Srs, coeffs: jnp.ndarray, c: int = 8) -> G1Points:
+def commit(srs: Srs, coeffs: jnp.ndarray, c: int | None = None) -> G1Points:
     """Commit to a coefficient vector (n, L) Montgomery limbs: C = sum c_i [tau^i]G.
 
     The length is padded up to a power of two so MSM kernels are compiled
@@ -55,12 +55,23 @@ def commit(srs: Srs, coeffs: jnp.ndarray, c: int = 8) -> G1Points:
     return msm(raw, _slice_powers(srs, coeffs.shape[0]), c=c)
 
 
-def commit_host(srs: Srs, coeffs: jnp.ndarray, c: int = 8):
-    out = commit(srs, coeffs, c=c)
-    return g1.decode_points(G1Points(out.x[None], out.y[None], out.z[None]))[0]
+def commit_host(srs: Srs, coeffs: jnp.ndarray, c: int | None = None):
+    """Commit and decode: device bucket pipeline + host window combine.
+
+    Skips the sequential on-device Horner window-combine (cheaper as host
+    bigint math; the prover absorbs commitments into the host Fiat-Shamir
+    transcript anyway — see msm.msm_fast_host).
+    """
+    n = coeffs.shape[0]
+    assert n <= srs.max_degree + 1, "polynomial exceeds SRS degree"
+    n_pad = min(1 << max(2, (n - 1).bit_length()), srs.max_degree + 1)
+    coeffs = pd.pad_to(coeffs, max(n, n_pad))
+    raw = _from_mont_j(coeffs)
+    table = make_table(_slice_powers(srs, coeffs.shape[0]))
+    return msm_fast_host(raw, table, c=c)
 
 
-def open_at(srs: Srs, coeffs: jnp.ndarray, z: jnp.ndarray, c: int = 8):
+def open_at(srs: Srs, coeffs: jnp.ndarray, z: jnp.ndarray, c: int | None = None):
     """Opening proof W = [q(tau)]G with q = (p - p(z))/(X - z).
 
     Returns (W: host affine point, y: (L,) Montgomery evaluation).
@@ -85,7 +96,7 @@ def batch_open_at(
     polys: Sequence[jnp.ndarray],
     z: jnp.ndarray,
     gamma: jnp.ndarray,
-    c: int = 8,
+    c: int | None = None,
 ):
     """Single opening proof for many polynomials at one point via a random
     linear combination sum gamma^i p_i. Returns (W host point, [y_i] Mont).

@@ -30,6 +30,8 @@ performance shape).
 
 from __future__ import annotations
 
+import functools
+
 from dataclasses import dataclass
 from typing import Dict, List, Tuple
 
@@ -70,17 +72,24 @@ class Proof:
         return n_points * 48 + n_scalars * 32
 
 
-def _coset_vh_inv_host(n_domain: int, n_vanish: int) -> jnp.ndarray:
-    """1 / v(x) for v(X) = X^n_vanish - 1 on the coset SHIFT * H_{n_domain}."""
+@functools.lru_cache(maxsize=None)
+def _coset_vh_inv(n_domain: int, n_vanish: int) -> jnp.ndarray:
+    """1 / v(x) for v(X) = X^n_vanish - 1 on the coset SHIFT * H_{n_domain}.
+
+    Device computation (geometric powers + batch inverse): the host loop
+    this replaces was O(n_domain) bigint modinvs — minutes at 2^20.
+    """
     w = dntt.domain(n_domain).w
-    vals = []
-    x_pow = pow(SHIFT, n_vanish, R)
-    w_pow = pow(w, n_vanish, R)
-    cur = x_pow
-    for _ in range(n_domain):
-        vals.append(pow((cur - 1) % R, -1, R))
-        cur = cur * w_pow % R
-    return F.encode(vals)
+    x_pow = F.encode([pow(SHIFT, n_vanish, R)])[0]
+    w_pow = F.encode([pow(w, n_vanish, R)])[0]
+
+    @jax.jit
+    def build(x_pow, w_pow):
+        pows = pd.powers(w_pow, n_domain)           # (n, L)
+        vals = F.sub(F.mul(pows, x_pow[None, :]), F.const(1))
+        return F.batch_inv(vals)
+
+    return build(x_pow, w_pow)
 
 
 def _fr(x: jnp.ndarray) -> int:
@@ -105,7 +114,7 @@ def prove(index: Index, cs: ConstraintSystem) -> Proof:
     za_c = dntt.coset_ntt(pd.pad_to(zm_polys["A"], 2 * n), SHIFT)
     zb_c = dntt.coset_ntt(pd.pad_to(zm_polys["B"], 2 * n), SHIFT)
     zc_c = dntt.coset_ntt(pd.pad_to(zm_polys["C"], 2 * n), SHIFT)
-    vh_inv = _coset_vh_inv_host(2 * n, n)
+    vh_inv = _coset_vh_inv(2 * n, n)
     h0_evals = mul(sub(mul(za_c, zb_c), zc_c), vh_inv)
     h0_poly = dntt.coset_intt(h0_evals, SHIFT)[: n - 1]
 
@@ -115,7 +124,7 @@ def prove(index: Index, cs: ConstraintSystem) -> Proof:
     if ell < n:
         z_c = dntt.coset_ntt(z_poly, SHIFT)
         xhat_c = dntt.coset_ntt(pd.pad_to(xhat_poly, n), SHIFT)
-        vin_inv = _coset_vh_inv_host(n, ell)
+        vin_inv = _coset_vh_inv(n, ell)
         qx_evals = mul(sub(z_c, xhat_c), vin_inv)
         qx_poly = dntt.coset_intt(qx_evals, SHIFT)[: n - ell]
     else:
@@ -185,7 +194,7 @@ def prove(index: Index, cs: ConstraintSystem) -> Proof:
     beta_e = F.encode([beta])[0]
     sigmas = {}
     g2_polys, h2_polys = {}, {}
-    vk_inv_4m = _coset_vh_inv_host(4 * m, m)
+    vk_inv_4m = _coset_vh_inv(4 * m, m)
     for mi in index.matrices:
         mn = mi.name.lower()
         b_e = add(

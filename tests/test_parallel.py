@@ -38,7 +38,7 @@ def test_sharded_msm_matches_host(mesh8):
     pts = [G1.mul(rng.randrange(1, 5000), G) for _ in range(n)]
     scalars = [rng.randrange(R) for _ in range(n)]
     sc = jnp.asarray(ints_to_limbs(scalars, F.L))
-    out = pmesh.sharded_msm(mesh8, sc, g1.encode_points(pts), c=8)
+    out = pmesh.sharded_msm(mesh8, sc, g1.encode_points(pts))
     got = g1.decode_points(
         g1.G1Points(out.x[None], out.y[None], out.z[None])
     )[0]
