@@ -18,8 +18,8 @@ multi-limb Montgomery arithmetic (SURVEY.md §2.8 item 1; the Rust crate uses
     what makes this formulation vectorize on the VPU.
   * All elements on device live in Montgomery form.
 
-Everything here is pure jnp and jittable; Pallas-fused versions of the hot
-compositions live in aleo_tpu/fields/pallas_kernels.py.
+Everything here is pure jnp and jittable; limbs-first primitives used by the
+Pallas-fused kernels live in aleo_tpu/fields/limb_kernels.py.
 """
 
 from __future__ import annotations

@@ -23,11 +23,19 @@ from ..fields.modring import FR_RING as F
 from ..msm.msm import make_table, msm, msm_fast_host
 from ..reference.curve import G1, G2, pairing_check
 from . import poly_device as pd
+from . import poly_lf as pl_lf
 from .srs import Srs
 
 R = params.R
 
 _from_mont_j = jax.jit(F.from_mont)
+
+
+@jax.jit
+def _from_mont_lf_j(a):
+    from ..fields import fr_lf as flf
+
+    return flf.from_mont(a)
 
 
 @jax.jit
@@ -61,9 +69,19 @@ def commit_host(srs: Srs, coeffs: jnp.ndarray, c: int | None = None):
     Skips the sequential on-device Horner window-combine (cheaper as host
     bigint math; the prover absorbs commitments into the host Fiat-Shamir
     transcript anyway — see msm.msm_fast_host).
+
+    Off-TPU the whole MSM runs on host bigints (jacobian Pippenger): XLA:CPU
+    loses to python on the bigint group law by >10x, and the CPU backend only
+    serves tests/dev anyway.
     """
     n = coeffs.shape[0]
     assert n <= srs.max_degree + 1, "polynomial exceeds SRS degree"
+    if jax.default_backend() != "tpu":
+        from ..reference.msm import msm_pippenger_jac
+
+        ints = [int(v) for v in F.decode(coeffs)]
+        pts = srs.host_affine()[:n]
+        return msm_pippenger_jac(ints, pts, c=8)
     n_pad = min(1 << max(2, (n - 1).bit_length()), srs.max_degree + 1)
     coeffs = pd.pad_to(coeffs, max(n, n_pad))
     raw = _from_mont_j(coeffs)
@@ -111,6 +129,61 @@ def batch_open_at(
     gpows = pd.powers(gamma, len(polys))                        # (k, L)
     acc = _fold_stack(stack, gpows)
     w, _ = open_at(srs, acc, z, c=c)
+    return w, ys
+
+
+# -- limbs-first API (prover pipeline; (L, n) coefficient arrays) ------------
+
+
+def commit_lf(srs: Srs, coeffs_lf: jnp.ndarray, c: int | None = None):
+    """Commit a limbs-first (L, n) coefficient array -> host affine point.
+
+    TPU: from_mont (lazy ok — group order r absorbs the +r ambiguity, and
+    digits cover 254 bits) -> device bucket MSM -> host window combine.
+    CPU: host bigint jacobian Pippenger (beats XLA:CPU >10x on the group law).
+    """
+    from ..fields import fr_lf as flf
+
+    n = coeffs_lf.shape[1]
+    assert n <= srs.max_degree + 1, "polynomial exceeds SRS degree"
+    if jax.default_backend() != "tpu":
+        ints = [int(v) for v in flf.decode(coeffs_lf)]
+        pts = srs.host_affine()[:n]
+        from ..reference.msm import msm_pippenger_jac
+
+        return msm_pippenger_jac(ints, pts, c=8)
+    n_pad = min(1 << max(2, (n - 1).bit_length()), srs.max_degree + 1)
+    coeffs_lf = pl_lf.pad_to(coeffs_lf, max(n, n_pad))
+    raw = _from_mont_lf_j(coeffs_lf).T
+    table = make_table(_slice_powers(srs, coeffs_lf.shape[1]))
+    return msm_fast_host(raw, table, c=c)
+
+
+def open_at_lf(srs: Srs, coeffs_lf: jnp.ndarray, z_lf: jnp.ndarray, c: int | None = None):
+    """Opening proof W = [q(tau)]G, limbs-first. Returns (W host point,
+    y (L, 1) Montgomery evaluation)."""
+    q, y = pl_lf.divide_by_linear_via_domain(coeffs_lf, z_lf)
+    w = commit_lf(srs, q, c=c)
+    return w, y
+
+
+def batch_open_at_lf(
+    srs: Srs,
+    polys_lf: Sequence[jnp.ndarray],
+    z_lf: jnp.ndarray,
+    gamma_lf: jnp.ndarray,
+    c: int | None = None,
+):
+    """Single opening proof for many limbs-first polynomials at one point via
+    the random linear combination sum gamma^i p_i. Returns (W, [y_i])."""
+    from ..fields import fr_lf as flf
+
+    ys = [pl_lf.eval_coeffs(p, z_lf) for p in polys_lf]
+    max_len = max(p.shape[1] for p in polys_lf)
+    stack = jnp.stack([pl_lf.pad_to(p, max_len) for p in polys_lf], axis=1)
+    gpows = flf.powers(gamma_lf, len(polys_lf))          # (L, k)
+    acc = pl_lf.fold_stack(stack, gpows)
+    w, _ = open_at_lf(srs, acc, z_lf, c=c)
     return w, ys
 
 

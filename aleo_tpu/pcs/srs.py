@@ -9,9 +9,9 @@ role as the reference's parameter cache. A byte-format loader hook
 (`Srs.from_file` / `Srs.save`) covers the "bring your own ceremony output"
 path.
 
-Generation is device-accelerated: tau powers are host scalars (cheap), the
-point powers [tau^i]G come from a fixed-base window table (host, one-time)
-combined on device with gathers + a log-tree of point additions.
+Generation runs on the host (jacobian fixed-base windows): compile-free,
+backend-independent, and cached on disk; it also produces the host-affine
+copies that the CPU-backend MSM fallback and verifier-side algebra use.
 """
 
 from __future__ import annotations
@@ -56,43 +56,25 @@ def _fixed_base_table(base):
     return table
 
 
-@jax.jit
-def _combine_windows(table: G1Points, digits: jnp.ndarray) -> G1Points:
-    """table: (NWIN, 256) points; digits: (N, NWIN) uint32.
-    Returns (N,) points sum_w T[w][digits[i, w]] via log-tree addition."""
-    tx = table.x[jnp.arange(NWIN)[None, :], digits]  # (N, NWIN, L)
-    ty = table.y[jnp.arange(NWIN)[None, :], digits]
-    tz = table.z[jnp.arange(NWIN)[None, :], digits]
-    p = G1Points(tx, ty, tz)
-    w = NWIN
-    while w > 1:
-        half = w // 2
-        p = g1.add(
-            G1Points(p.x[:, :half], p.y[:, :half], p.z[:, :half]),
-            G1Points(p.x[:, half : 2 * half], p.y[:, half : 2 * half], p.z[:, half : 2 * half]),
-        )
-        w = half
-    return G1Points(p.x[:, 0], p.y[:, 0], p.z[:, 0])
+def _batch_fixed_base_host(scalars, base):
+    """Host windowed fixed-base: [k_i * base] as affine host points.
 
+    The CPU-backend path (XLA:CPU loses to python bigints on the group law);
+    jacobian accumulation, one batched affine conversion at the end.
+    """
+    from ..reference.msm import _jac_to_affine, _jadd_affine
 
-def _batch_fixed_base(scalars, base):
-    """[k_i * base] for host scalars, computed on device. Returns affine
-    G1Points batch (z==1; identity encoded as z==0)."""
-    table_host = _fixed_base_table(base)
-    flat = [pt for row in table_host for pt in row]
-    table = g1.encode_points(flat)
-    table = G1Points(
-        table.x.reshape(NWIN, 256, -1),
-        table.y.reshape(NWIN, 256, -1),
-        table.z.reshape(NWIN, 256, -1),
-    )
-    digits = np.zeros((len(scalars), NWIN), dtype=np.uint32)
-    for i, k in enumerate(scalars):
+    table = _fixed_base_table(base)
+    out = []
+    for k in scalars:
         kk = k % R
+        acc = None
         for w in range(NWIN):
-            digits[i, w] = (kk >> (WINDOW_C * w)) & 0xFF
-    proj = _combine_windows(table, jnp.asarray(digits))
-    return jax.jit(g1.to_affine)(proj)
+            d = (kk >> (WINDOW_C * w)) & 0xFF
+            if d:
+                acc = _jadd_affine(acc, table[w][d])
+        out.append(_jac_to_affine(acc))
+    return out
 
 
 @dataclass
@@ -103,6 +85,16 @@ class Srs:
     g2_gen: tuple               # host G2 affine
     g2_tau: tuple               # host G2 affine
     max_degree: int
+    _host_pts: list | None = None   # lazy host affine [(x, y) | None]
+
+    def host_affine(self) -> list:
+        """Host affine copies of the powers (cached; feeds the host MSM
+        fallback used off-TPU)."""
+        if self._host_pts is None:
+            from ..curves.g1_fused import decode_lf, from_points
+
+            self._host_pts = decode_lf(from_points(self.powers))
+        return self._host_pts
 
     @staticmethod
     def generate(max_degree: int, seed: bytes = b"aleo-tpu-srs") -> "Srs":
@@ -112,9 +104,16 @@ class Srs:
         for _ in range(max_degree + 1):
             taus.append(acc)
             acc = acc * tau % R
-        powers = _batch_fixed_base(taus, G1.generator())
+        # Host fixed-base generation on every backend: compile-free (the
+        # device einsum tree costs minutes of XLA compile per SRS size),
+        # deterministic, and it populates the host-affine cache that the
+        # CPU-backend MSM fallback and the verifier-side algebra use.
+        host_pts = _batch_fixed_base_host(taus, G1.generator())
+        from ..curves import g1 as g1mod
+
+        powers = g1mod.encode_points(host_pts)
         h = G2.generator()
-        return Srs(powers, h, G2.mul(tau, h), max_degree)
+        return Srs(powers, h, G2.mul(tau, h), max_degree, host_pts)
 
     @staticmethod
     def load_or_generate(max_degree: int, seed: bytes = b"aleo-tpu-srs") -> "Srs":
@@ -135,6 +134,7 @@ class Srs:
             "g2_gen": _fq2_pt_to_ints(self.g2_gen),
             "g2_tau": _fq2_pt_to_ints(self.g2_tau),
             "max_degree": self.max_degree,
+            "host_pts": self._host_pts,
         }
         with open(path, "wb") as f:
             pickle.dump(blob, f)
@@ -151,6 +151,7 @@ class Srs:
             _ints_to_fq2_pt(blob["g2_gen"]),
             _ints_to_fq2_pt(blob["g2_tau"]),
             blob["max_degree"],
+            blob.get("host_pts"),
         )
 
 

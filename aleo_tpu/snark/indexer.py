@@ -94,9 +94,12 @@ def index_r1cs(cs: ConstraintSystem, srs: Srs | None = None, seed: bytes = b"ale
     assert ell <= n
     coos = cs.matrices()
     m = _next_pow2(max(max(len(c) for c in coos), 2))
+    # Largest committed polynomial: the K-side index/g2/h2 polys (length m)
+    # and the H-side polys (length <= n+1); quotients on 2n/4m cosets are
+    # trimmed to their true degrees before committing.
     if srs is None:
-        srs = Srs.load_or_generate(max(2 * n, 2 * m), seed)
-    assert srs.max_degree >= max(2 * n, 2 * m) - 1
+        srs = Srs.load_or_generate(max(n, m) + 1, seed)
+    assert srs.max_degree >= max(n, m)
 
     var_pos = variable_positions(n, ell, cs.num_variables)
     dH = dntt.domain(n)
@@ -129,7 +132,9 @@ def index_r1cs(cs: ConstraintSystem, srs: Srs | None = None, seed: bytes = b"ale
         col_poly = dntt.intt(col_ev)
         cval_poly = dntt.intt(cval_ev)
         rcp_poly = dntt.intt(rcp_ev)
-        cms = [kzg.commit_host(srs, p) for p in (row_poly, col_poly, cval_poly, rcp_poly)]
+        # limbs-first commit path: avoids instantiating the einsum Montgomery
+        # mul on TPU (>100 s of XLA compile per shape — see fields/fr_lf.py)
+        cms = [kzg.commit_lf(srs, p.T) for p in (row_poly, col_poly, cval_poly, rcp_poly)]
 
         by_row = build_tables(
             coo_pos, key_of=lambda e: e[0], gather_of=lambda e: e[1], out_size=n,

@@ -7,6 +7,11 @@ SURVEY.md §3.1 "HOTTEST"). The protocol is the Marlin AHP for R1CS
 every round is NTTs + elementwise field kernels + one MSM per commitment,
 orchestrated from the host with jitted device primitives.
 
+All device field math is limbs-first (L, n) through `fields.fr_lf`
+(limb-convolution internals on TPU, einsum internals on CPU — see fr_lf's
+docstring for the measured rationale); polynomials stay in the lazy < 2p
+domain between kernels.
+
 Round structure (all challenges by Poseidon Fiat-Shamir, transcript.py):
 
   R1: commit  z, z_A, z_B, z_C, h0 (rowcheck quotient), q_x (public-input
@@ -30,22 +35,18 @@ performance shape).
 
 from __future__ import annotations
 
-import functools
-
 from dataclasses import dataclass
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .. import params
-from ..fields.modring import FR_RING as F
+from ..fields import fr_lf as lf
 from ..ntt import ntt as dntt
-from ..pcs import kzg, poly_device as pd
+from ..pcs import kzg, poly_lf as pl
 from .indexer import Index, z_evaluations
 from .r1cs import ConstraintSystem
-from .sparse import spmv
+from .sparse import spmv_lf
 from .transcript import Transcript
 
 R = params.R
@@ -72,71 +73,60 @@ class Proof:
         return n_points * 48 + n_scalars * 32
 
 
-@functools.lru_cache(maxsize=None)
-def _coset_vh_inv(n_domain: int, n_vanish: int) -> jnp.ndarray:
-    """1 / v(x) for v(X) = X^n_vanish - 1 on the coset SHIFT * H_{n_domain}.
-
-    Device computation (geometric powers + batch inverse): the host loop
-    this replaces was O(n_domain) bigint modinvs — minutes at 2^20.
-    """
-    w = dntt.domain(n_domain).w
-    x_pow = F.encode([pow(SHIFT, n_vanish, R)])[0]
-    w_pow = F.encode([pow(w, n_vanish, R)])[0]
-
-    @jax.jit
-    def build(x_pow, w_pow):
-        pows = pd.powers(w_pow, n_domain)           # (n, L)
-        vals = F.sub(F.mul(pows, x_pow[None, :]), F.const(1))
-        return F.batch_inv(vals)
-
-    return build(x_pow, w_pow)
-
-
 def _fr(x: jnp.ndarray) -> int:
-    """Decode a single (L,) Montgomery element to a host int."""
-    return int(F.decode(x[None])[0])
+    """Decode a single (L, 1) limbs-first element to a host int."""
+    return int(lf.decode(x)[0])
 
 
 def prove(index: Index, cs: ConstraintSystem) -> Proof:
     n, m, ell = index.n, index.m, index.ell
     srs = index.srs
-    mul, add, sub = pd.mul_j, pd.add_j, pd.sub_j
+    mul, add, sub = lf.mul, lf.add, lf.sub
 
     # ---- witness layout -----------------------------------------------------
     z_host = z_evaluations(index, cs)
-    z_evals = F.encode(list(z_host))
-    zm_evals = {mi.name: spmv(mi.by_row, z_evals) for mi in index.matrices}
+    z_evals = lf.encode(list(z_host))                   # (L, n)
+    zm_evals = {mi.name: spmv_lf(mi.by_row, z_evals) for mi in index.matrices}
 
-    z_poly = dntt.intt(z_evals)
-    zm_polys = {k: dntt.intt(v) for k, v in zm_evals.items()}
+    z_poly = dntt.intt_lf(z_evals)
+    zm_polys = {k: dntt.intt_lf(v) for k, v in zm_evals.items()}
+
+    # index polynomials, limbs-first views (transposed once)
+    ipolys = {}
+    for mi in index.matrices:
+        mn = mi.name.lower()
+        ipolys[f"row_{mn}"] = mi.row_poly.T
+        ipolys[f"col_{mn}"] = mi.col_poly.T
+        ipolys[f"cval_{mn}"] = mi.cval_poly.T
+        ipolys[f"rcp_{mn}"] = mi.rcp_poly.T
 
     # ---- rowcheck quotient h0 ----------------------------------------------
-    za_c = dntt.coset_ntt(pd.pad_to(zm_polys["A"], 2 * n), SHIFT)
-    zb_c = dntt.coset_ntt(pd.pad_to(zm_polys["B"], 2 * n), SHIFT)
-    zc_c = dntt.coset_ntt(pd.pad_to(zm_polys["C"], 2 * n), SHIFT)
-    vh_inv = _coset_vh_inv(2 * n, n)
+    za_c = dntt.coset_ntt_lf(pl.pad_to(zm_polys["A"], 2 * n), SHIFT)
+    zb_c = dntt.coset_ntt_lf(pl.pad_to(zm_polys["B"], 2 * n), SHIFT)
+    zc_c = dntt.coset_ntt_lf(pl.pad_to(zm_polys["C"], 2 * n), SHIFT)
+    vh_inv = pl._coset_vh_inv(2 * n, n, SHIFT)
     h0_evals = mul(sub(mul(za_c, zb_c), zc_c), vh_inv)
-    h0_poly = dntt.coset_intt(h0_evals, SHIFT)[: n - 1]
+    h0_poly = dntt.coset_intt_lf(h0_evals, SHIFT)[:, : n - 1]
 
     # ---- public input quotient q_x -----------------------------------------
     x_pub = cs.public_inputs() + [0] * (ell - cs.num_inputs)
-    xhat_poly = dntt.intt(F.encode(x_pub)) if ell > 1 else F.encode(x_pub)
+    xhat_poly = dntt.intt_lf(lf.encode(x_pub)) if ell > 1 else lf.encode(x_pub)
     if ell < n:
-        z_c = dntt.coset_ntt(z_poly, SHIFT)
-        xhat_c = dntt.coset_ntt(pd.pad_to(xhat_poly, n), SHIFT)
-        vin_inv = _coset_vh_inv(n, ell)
+        z_c = dntt.coset_ntt_lf(z_poly, SHIFT)
+        xhat_c = dntt.coset_ntt_lf(pl.pad_to(xhat_poly, n), SHIFT)
+        vin_inv = pl._coset_vh_inv(n, ell, SHIFT)
         qx_evals = mul(sub(z_c, xhat_c), vin_inv)
-        qx_poly = dntt.coset_intt(qx_evals, SHIFT)[: n - ell]
+        qx_poly = dntt.coset_intt_lf(qx_evals, SHIFT)[:, : n - ell]
     else:
-        qx_poly = jnp.zeros((1, F.L), dtype=jnp.uint32)
+        qx_poly = lf.zero(1)
 
     commitments: Dict[str, object] = {}
-    commitments["z"] = kzg.commit_host(srs, z_poly)
-    commitments["z_a"] = kzg.commit_host(srs, zm_polys["A"])
-    commitments["z_b"] = kzg.commit_host(srs, zm_polys["B"])
-    commitments["z_c"] = kzg.commit_host(srs, zm_polys["C"])
-    commitments["h0"] = kzg.commit_host(srs, h0_poly)
-    commitments["q_x"] = kzg.commit_host(srs, qx_poly)
+    commitments["z"] = kzg.commit_lf(srs, z_poly)
+    commitments["z_a"] = kzg.commit_lf(srs, zm_polys["A"])
+    commitments["z_b"] = kzg.commit_lf(srs, zm_polys["B"])
+    commitments["z_c"] = kzg.commit_lf(srs, zm_polys["C"])
+    commitments["h0"] = kzg.commit_lf(srs, h0_poly)
+    commitments["q_x"] = kzg.commit_lf(srs, qx_poly)
 
     # ---- transcript / round 1 ----------------------------------------------
     tr = Transcript("varuna")
@@ -151,88 +141,90 @@ def prove(index: Index, cs: ConstraintSystem) -> Proof:
     # ---- round 2: lincheck sumcheck ----------------------------------------
     dH = dntt.domain(n)
     vh_alpha = (pow(alpha, n, R) - 1) % R
-    alpha_e = F.encode([alpha])[0]
+    alpha_e = lf.const(alpha)
     # u_H(alpha, h) = v_H(alpha) / (alpha - h) for h in H
-    denom = sub(jnp.broadcast_to(alpha_e, (n, F.L)), dH.wpow)
-    u_alpha = mul(F.batch_inv(denom), F.const(vh_alpha))
+    denom = sub(jnp.broadcast_to(alpha_e, (lf.L, n)), jnp.asarray(dH.wpow_np).T)
+    u_alpha = mul(lf.batch_inv(denom), lf.const(vh_alpha))
     # t over H: sum_M eta_M * (M^T u_alpha)
     t_vec = None
     for mi in index.matrices:
-        contrib = mul(spmv(mi.by_col, u_alpha), F.const(etas[mi.name]))
+        contrib = mul(spmv_lf(mi.by_col, u_alpha), lf.const(etas[mi.name]))
         t_vec = contrib if t_vec is None else add(t_vec, contrib)
-    t_poly = dntt.intt(t_vec)
+    t_poly = dntt.intt_lf(t_vec)
 
     # r_alpha(X) = sum_i alpha^{n-1-i} X^i  (degree n-1)
-    r_alpha_poly = pd.powers(alpha_e, n)[::-1]
+    r_alpha_poly = lf.powers(alpha_e, n)[:, ::-1]
 
     # s(X) = sum_M eta_M z_M(X)
     s_poly = None
-    for mname, key in (("A", "z_a"), ("B", "z_b"), ("C", "z_c")):
-        term = mul(zm_polys[mname], F.const(etas[mname]))
+    for mname in ("A", "B", "C"):
+        term = mul(zm_polys[mname], lf.const(etas[mname]))
         s_poly = term if s_poly is None else add(s_poly, term)
 
-    r_c = dntt.coset_ntt(pd.pad_to(r_alpha_poly, 2 * n), SHIFT)
-    s_c = dntt.coset_ntt(pd.pad_to(s_poly, 2 * n), SHIFT)
-    t_c = dntt.coset_ntt(pd.pad_to(t_poly, 2 * n), SHIFT)
-    zf_c = dntt.coset_ntt(pd.pad_to(z_poly, 2 * n), SHIFT)
+    r_c = dntt.coset_ntt_lf(pl.pad_to(r_alpha_poly, 2 * n), SHIFT)
+    s_c = dntt.coset_ntt_lf(pl.pad_to(s_poly, 2 * n), SHIFT)
+    t_c = dntt.coset_ntt_lf(pl.pad_to(t_poly, 2 * n), SHIFT)
+    zf_c = dntt.coset_ntt_lf(pl.pad_to(z_poly, 2 * n), SHIFT)
     q1_evals = sub(mul(r_c, s_c), mul(t_c, zf_c))
-    q1_poly = dntt.coset_intt(q1_evals, SHIFT)
-    h1_poly, rem = pd.divide_by_vanishing(q1_poly, n)
-    g1_poly = rem[1:]  # rem = X g1 (constant term zero by the sum identity)
+    q1_poly = dntt.coset_intt_lf(q1_evals, SHIFT)
+    h1_poly, rem = pl.divide_by_vanishing(q1_poly, n)
+    g1_poly = rem[:, 1:]  # rem = X g1 (constant term zero by the sum identity)
 
-    commitments["t"] = kzg.commit_host(srs, t_poly)
-    commitments["g1"] = kzg.commit_host(srs, g1_poly)
-    commitments["h1"] = kzg.commit_host(srs, h1_poly)
+    commitments["t"] = kzg.commit_lf(srs, t_poly)
+    commitments["g1"] = kzg.commit_lf(srs, g1_poly)
+    commitments["h1"] = kzg.commit_lf(srs, h1_poly)
     for nm in ("t", "g1", "h1"):
         tr.absorb_point(commitments[nm])
     beta = tr.challenge()
 
     # ---- round 3: rational sumchecks over K --------------------------------
     vh_beta = (pow(beta, n, R) - 1) % R
-    ab_scale = F.const(vh_alpha * vh_beta % R)
-    alpha_beta = F.const(alpha * beta % R)
-    beta_e = F.encode([beta])[0]
+    ab_scale = lf.const(vh_alpha * vh_beta % R)
+    alpha_beta = lf.const(alpha * beta % R)
     sigmas = {}
     g2_polys, h2_polys = {}, {}
-    vk_inv_4m = _coset_vh_inv(4 * m, m)
+    vk_inv_4m = pl._coset_vh_inv(4 * m, m, SHIFT)
     for mi in index.matrices:
         mn = mi.name.lower()
+        col_e, row_e = mi.col_evals.T, mi.row_evals.T
         b_e = add(
             sub(
-                jnp.broadcast_to(alpha_beta, (m, F.L)),
+                jnp.broadcast_to(alpha_beta, (lf.L, m)),
                 add(
-                    mul(mi.col_evals, F.const(alpha)),
-                    mul(mi.row_evals, F.const(beta)),
+                    mul(col_e, lf.const(alpha)),
+                    mul(row_e, lf.const(beta)),
                 ),
             ),
-            mi.rcp_evals,
+            mi.rcp_evals.T,
         )
-        a_e = mul(mi.cval_evals, ab_scale)
-        f_e = mul(a_e, F.batch_inv(b_e))
-        sigma = _fr(pd.tree_sum(f_e))
+        a_e = mul(mi.cval_evals.T, ab_scale)
+        f_e = mul(a_e, lf.batch_inv(b_e))
+        sigma = _fr(lf.tree_sum(f_e))
         sigmas[mi.name] = sigma
-        f_poly = dntt.intt(f_e)
-        g2_polys[mn] = f_poly[1:]
+        f_poly = dntt.intt_lf(f_e)
+        g2_polys[mn] = f_poly[:, 1:]
         # h2 = (b f - a) / v_K on a 4m coset
-        row_c = dntt.coset_ntt(pd.pad_to(mi.row_poly, 4 * m), SHIFT)
-        col_c = dntt.coset_ntt(pd.pad_to(mi.col_poly, 4 * m), SHIFT)
-        rcp_c = dntt.coset_ntt(pd.pad_to(mi.rcp_poly, 4 * m), SHIFT)
-        cval_c = dntt.coset_ntt(pd.pad_to(mi.cval_poly, 4 * m), SHIFT)
-        f_c = dntt.coset_ntt(pd.pad_to(f_poly, 4 * m), SHIFT)
+        row_c = dntt.coset_ntt_lf(pl.pad_to(ipolys[f"row_{mn}"], 4 * m), SHIFT)
+        col_c = dntt.coset_ntt_lf(pl.pad_to(ipolys[f"col_{mn}"], 4 * m), SHIFT)
+        rcp_c = dntt.coset_ntt_lf(pl.pad_to(ipolys[f"rcp_{mn}"], 4 * m), SHIFT)
+        cval_c = dntt.coset_ntt_lf(pl.pad_to(ipolys[f"cval_{mn}"], 4 * m), SHIFT)
+        f_c = dntt.coset_ntt_lf(pl.pad_to(f_poly, 4 * m), SHIFT)
         b_c = add(
             sub(
-                jnp.broadcast_to(alpha_beta, (4 * m, F.L)),
-                add(mul(col_c, F.const(alpha)), mul(row_c, F.const(beta))),
+                jnp.broadcast_to(alpha_beta, (lf.L, 4 * m)),
+                add(mul(col_c, lf.const(alpha)), mul(row_c, lf.const(beta))),
             ),
             rcp_c,
         )
         a_c = mul(cval_c, ab_scale)
         num = sub(mul(b_c, f_c), a_c)
         h2_evals = mul(num, vk_inv_4m)
-        h2_polys[mn] = dntt.coset_intt(h2_evals, SHIFT)[: 3 * m - 2]
+        # deg(b*f) = 2m-2, so h2 = (b f - a)/v_K has degree m-2 when the
+        # division is exact; trim so commitments stay within a size-m SRS.
+        h2_polys[mn] = dntt.coset_intt_lf(h2_evals, SHIFT)[:, : m - 1]
 
-        commitments[f"g2_{mn}"] = kzg.commit_host(srs, g2_polys[mn])
-        commitments[f"h2_{mn}"] = kzg.commit_host(srs, h2_polys[mn])
+        commitments[f"g2_{mn}"] = kzg.commit_lf(srs, g2_polys[mn])
+        commitments[f"h2_{mn}"] = kzg.commit_lf(srs, h2_polys[mn])
 
     tr.absorb_fr(sigmas["A"], sigmas["B"], sigmas["C"])
     for mn in "abc":
@@ -248,27 +240,28 @@ def prove(index: Index, cs: ConstraintSystem) -> Proof:
     gamma_polys = {}
     for mi in index.matrices:
         mn = mi.name.lower()
-        gamma_polys[f"row_{mn}"] = mi.row_poly
-        gamma_polys[f"col_{mn}"] = mi.col_poly
-        gamma_polys[f"cval_{mn}"] = mi.cval_poly
-        gamma_polys[f"rcp_{mn}"] = mi.rcp_poly
+        gamma_polys[f"row_{mn}"] = ipolys[f"row_{mn}"]
+        gamma_polys[f"col_{mn}"] = ipolys[f"col_{mn}"]
+        gamma_polys[f"cval_{mn}"] = ipolys[f"cval_{mn}"]
+        gamma_polys[f"rcp_{mn}"] = ipolys[f"rcp_{mn}"]
         gamma_polys[f"g2_{mn}"] = g2_polys[mn]
         gamma_polys[f"h2_{mn}"] = h2_polys[mn]
 
-    evals_beta = {k: _fr(pd.eval_coeffs(p, beta_e)) for k, p in beta_polys.items()}
-    gamma_e = F.encode([gamma])[0]
-    evals_gamma = {k: _fr(pd.eval_coeffs(p, gamma_e)) for k, p in gamma_polys.items()}
+    beta_e = lf.const(beta)
+    gamma_e = lf.const(gamma)
+    evals_beta = {k: _fr(pl.eval_coeffs(p, beta_e)) for k, p in beta_polys.items()}
+    evals_gamma = {k: _fr(pl.eval_coeffs(p, gamma_e)) for k, p in gamma_polys.items()}
 
     tr.absorb_fr(*[evals_beta[k] for k in BETA_POLYS])
     tr.absorb_fr(*[evals_gamma[k] for k in GAMMA_POLYS])
     xi1 = tr.challenge()
     xi2 = tr.challenge()
 
-    w_beta, _ = kzg.batch_open_at(
-        srs, [beta_polys[k] for k in BETA_POLYS], beta_e, F.encode([xi1])[0]
+    w_beta, _ = kzg.batch_open_at_lf(
+        srs, [beta_polys[k] for k in BETA_POLYS], beta_e, lf.const(xi1)
     )
-    w_gamma, _ = kzg.batch_open_at(
-        srs, [gamma_polys[k] for k in GAMMA_POLYS], gamma_e, F.encode([xi2])[0]
+    w_gamma, _ = kzg.batch_open_at_lf(
+        srs, [gamma_polys[k] for k in GAMMA_POLYS], gamma_e, lf.const(xi2)
     )
 
     return Proof(

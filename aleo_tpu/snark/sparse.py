@@ -101,3 +101,57 @@ def spmv(tables: SparseTables, x: jnp.ndarray) -> jnp.ndarray:
         x,
         out_size=tables.out_size,
     )
+
+
+# -- limbs-first path (prover pipeline) --------------------------------------
+
+
+def _segscan_add_lf(vals: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:
+    """Segmented inclusive prefix sum over Fr, limbs-first (L, m)."""
+    from ..fields import fr_lf as lf
+
+    m = vals.shape[1]
+    if m == 1:
+        return vals
+    logn = max(1, (m - 1).bit_length())
+    iota = jnp.arange(m, dtype=jnp.int32)
+
+    def body(d, carry):
+        v, f = carry
+        o = jnp.int32(1) << d
+        valid = iota >= o
+        vs = jnp.roll(v, o, axis=1)
+        fs = jnp.roll(f, o, axis=0)
+        s = lf.add(v, vs)
+        keep = f | ~valid
+        nv = lf.select(keep, v, s)
+        nf = f | (valid & fs)
+        return (nv, nf)
+
+    v, _ = jax.lax.fori_loop(0, logn, body, (vals, flags))
+    return v
+
+
+@functools.partial(jax.jit, static_argnames=("out_size",))
+def _spmv_core_lf(vals, gather_idx, flags, ends, out_idx, x, out_size: int):
+    from ..fields import fr_lf as lf
+
+    prod = lf.mul(vals.T, x[:, gather_idx])
+    seg = _segscan_add_lf(prod, flags)
+    idx = jnp.where(ends, out_idx, out_size)
+    out = jnp.zeros((out_size + 1, F.L), dtype=jnp.uint32)
+    out = out.at[idx].set(seg.T)
+    return out[:out_size].T
+
+
+def spmv_lf(tables: SparseTables, x: jnp.ndarray) -> jnp.ndarray:
+    """Limbs-first spmv: x (L, n) lazy -> y (L, out_size) lazy."""
+    return _spmv_core_lf(
+        tables.vals,
+        tables.gather_idx,
+        tables.flags,
+        tables.ends,
+        tables.out_idx,
+        x,
+        out_size=tables.out_size,
+    )
