@@ -94,12 +94,13 @@ def index_r1cs(cs: ConstraintSystem, srs: Srs | None = None, seed: bytes = b"ale
     assert ell <= n
     coos = cs.matrices()
     m = _next_pow2(max(max(len(c) for c in coos), 2))
-    # Largest committed polynomial: the K-side index/g2/h2 polys (length m)
-    # and the H-side polys (length <= n+1); quotients on 2n/4m cosets are
-    # trimmed to their true degrees before committing.
+    # Largest committed polynomial: the K-side index/g2/h2 polys (length m),
+    # the H-side masked polys (length <= n+3), and the degree-(2n+1) outer
+    # sumcheck mask; quotients on the 2n/4n/4m cosets are trimmed to their
+    # true degrees before committing.
     if srs is None:
-        srs = Srs.load_or_generate(max(n, m) + 1, seed)
-    assert srs.max_degree >= max(n, m)
+        srs = Srs.load_or_generate(max(2 * n + 1, m) + 1, seed)
+    assert srs.max_degree >= max(2 * n + 1, m)
 
     var_pos = variable_positions(n, ell, cs.num_variables)
     dH = dntt.domain(n)

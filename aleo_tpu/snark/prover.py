@@ -28,12 +28,25 @@ Round structure (all challenges by Poseidon Fiat-Shamir, transcript.py):
       -> gamma (K-side query point)
   Openings: batched KZG proofs at beta (H-side polys) and gamma (K-side).
 
-Degree-bound openings for g1/g2 and zero-knowledge masking are tracked as
-future work (documented in README; they do not affect completeness or the
-performance shape).
+Zero-knowledge (Marlin-style):
+  * the witness-carrying polynomials z, z_A, z_B, z_C are masked with
+    v_H(X) * (a + b X) for fresh random a, b — the masks vanish on H, so all
+    AHP identities hold unchanged, while {commitment, one evaluation} of each
+    poly is uniformly distributed (degree-1 mask = 2 unknowns vs 2 exposures);
+  * the outer sumcheck is masked with a random s(X) committed in round 1
+    whose H-sum sigma_s is revealed — the lincheck identity becomes
+    s + r_alpha * sum eta_M z_M - t z = h1 v_H + X g1 + sigma_s/n.
+  Quotient cosets are sized for the masked degrees (h0/q1 on 4n, q_x on 2n).
+
+Degree-bound enforcement: g1 (deg <= n-2) and g2_M (deg <= m-2) are
+additionally committed as X^(D-d) * g (D = SRS degree); the verifier checks
+shifted_eval = point^(D-d) * eval, which fails for any higher-degree poly
+(the standard Marlin shifted-commitment trick).
 """
 
 from __future__ import annotations
+
+import random as _random
 
 from dataclasses import dataclass
 from typing import Dict, Tuple
@@ -52,16 +65,22 @@ from .transcript import Transcript
 R = params.R
 SHIFT = params.FR_GENERATOR  # coset shift for quotient computations
 
-BETA_POLYS = ["z", "z_a", "z_b", "z_c", "h0", "q_x", "t", "g1", "h1"]
+BETA_POLYS = ["z", "z_a", "z_b", "z_c", "h0", "q_x", "s", "t", "g1", "h1", "g1_shift"]
 GAMMA_POLYS = [
-    f"{p}_{mname}" for mname in "abc" for p in ("row", "col", "cval", "rcp", "g2", "h2")
+    f"{p}_{mname}"
+    for mname in "abc"
+    for p in ("row", "col", "cval", "rcp", "g2", "h2", "g2_shift")
 ]
+COMMIT_NAMES = [
+    "z", "z_a", "z_b", "z_c", "h0", "q_x", "s", "t", "g1", "h1", "g1_shift",
+] + [f"{p}_{mn}" for mn in "abc" for p in ("g2", "h2", "g2_shift")]
 
 
 @dataclass
 class Proof:
     commitments: Dict[str, object]      # name -> host affine G1 point
     sigmas: Tuple[int, int, int]
+    sigma_s: int                        # H-sum of the sumcheck mask s(X)
     evals_beta: Dict[str, int]
     evals_gamma: Dict[str, int]
     w_beta: object
@@ -69,7 +88,7 @@ class Proof:
 
     def size_bytes(self) -> int:
         n_points = len(self.commitments) + 2
-        n_scalars = 3 + len(self.evals_beta) + len(self.evals_gamma)
+        n_scalars = 4 + len(self.evals_beta) + len(self.evals_gamma)
         return n_points * 48 + n_scalars * 32
 
 
@@ -78,18 +97,46 @@ def _fr(x: jnp.ndarray) -> int:
     return int(lf.decode(x)[0])
 
 
-def prove(index: Index, cs: ConstraintSystem) -> Proof:
+def _mask_vh(poly: jnp.ndarray, n: int, a: int, b: int) -> jnp.ndarray:
+    """poly + v_H(X) * (a + b X) = poly - (a + b X) + a X^n + b X^(n+1).
+
+    poly: (L, n) -> (L, n+2), still identical to poly on H.
+    """
+    head = lf.encode([a, b])
+    tail = head  # same coefficients reappear at X^n, X^(n+1)
+    padded = jnp.concatenate([poly, tail], axis=1)
+    neg_head = lf.neg(head)
+    bump = jnp.concatenate(
+        [neg_head, jnp.zeros((lf.L, n - 2), jnp.uint32), jnp.zeros((lf.L, 2), jnp.uint32)],
+        axis=1,
+    )
+    return lf.add(padded, bump)
+
+
+def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
     n, m, ell = index.n, index.m, index.ell
     srs = index.srs
     mul, add, sub = lf.mul, lf.add, lf.sub
+    if rng is None:
+        rng = _random.SystemRandom()
 
     # ---- witness layout -----------------------------------------------------
     z_host = z_evaluations(index, cs)
     z_evals = lf.encode(list(z_host))                   # (L, n)
     zm_evals = {mi.name: spmv_lf(mi.by_row, z_evals) for mi in index.matrices}
 
-    z_poly = dntt.intt_lf(z_evals)
-    zm_polys = {k: dntt.intt_lf(v) for k, v in zm_evals.items()}
+    # hiding masks: p + v_H * (a + b X), fresh randomness per proof
+    z_poly = _mask_vh(dntt.intt_lf(z_evals), n, rng.randrange(R), rng.randrange(R))
+    zm_polys = {
+        k: _mask_vh(dntt.intt_lf(v), n, rng.randrange(R), rng.randrange(R))
+        for k, v in zm_evals.items()
+    }
+
+    # outer sumcheck mask s(X), degree <= 2n+1; sigma_s = sum_H s =
+    # n * (s_0 + s_n + s_2n)
+    s_coeffs = [rng.randrange(R) for _ in range(2 * n + 2)]
+    sigma_s = n * (s_coeffs[0] + s_coeffs[n] + s_coeffs[2 * n]) % R
+    s_mask_poly = lf.encode(s_coeffs)
 
     # index polynomials, limbs-first views (transposed once)
     ipolys = {}
@@ -101,24 +148,23 @@ def prove(index: Index, cs: ConstraintSystem) -> Proof:
         ipolys[f"rcp_{mn}"] = mi.rcp_poly.T
 
     # ---- rowcheck quotient h0 ----------------------------------------------
-    za_c = dntt.coset_ntt_lf(pl.pad_to(zm_polys["A"], 2 * n), SHIFT)
-    zb_c = dntt.coset_ntt_lf(pl.pad_to(zm_polys["B"], 2 * n), SHIFT)
-    zc_c = dntt.coset_ntt_lf(pl.pad_to(zm_polys["C"], 2 * n), SHIFT)
-    vh_inv = pl._coset_vh_inv(2 * n, n, SHIFT)
+    # masked deg(z_M) = n+1, so deg(za*zb) = 2n+2: evaluate on a 4n coset.
+    za_c = dntt.coset_ntt_lf(pl.pad_to(zm_polys["A"], 4 * n), SHIFT)
+    zb_c = dntt.coset_ntt_lf(pl.pad_to(zm_polys["B"], 4 * n), SHIFT)
+    zc_c = dntt.coset_ntt_lf(pl.pad_to(zm_polys["C"], 4 * n), SHIFT)
+    vh_inv = pl._coset_vh_inv(4 * n, n, SHIFT)
     h0_evals = mul(sub(mul(za_c, zb_c), zc_c), vh_inv)
-    h0_poly = dntt.coset_intt_lf(h0_evals, SHIFT)[:, : n - 1]
+    h0_poly = dntt.coset_intt_lf(h0_evals, SHIFT)[:, : n + 3]
 
     # ---- public input quotient q_x -----------------------------------------
+    # (z - xhat) / v_ell with deg(z) = n+1: evaluate on a 2n coset.
     x_pub = cs.public_inputs() + [0] * (ell - cs.num_inputs)
     xhat_poly = dntt.intt_lf(lf.encode(x_pub)) if ell > 1 else lf.encode(x_pub)
-    if ell < n:
-        z_c = dntt.coset_ntt_lf(z_poly, SHIFT)
-        xhat_c = dntt.coset_ntt_lf(pl.pad_to(xhat_poly, n), SHIFT)
-        vin_inv = pl._coset_vh_inv(n, ell, SHIFT)
-        qx_evals = mul(sub(z_c, xhat_c), vin_inv)
-        qx_poly = dntt.coset_intt_lf(qx_evals, SHIFT)[:, : n - ell]
-    else:
-        qx_poly = lf.zero(1)
+    z_c = dntt.coset_ntt_lf(pl.pad_to(z_poly, 2 * n), SHIFT)
+    xhat_c = dntt.coset_ntt_lf(pl.pad_to(xhat_poly, 2 * n), SHIFT)
+    vin_inv = pl._coset_vh_inv(2 * n, ell, SHIFT)
+    qx_evals = mul(sub(z_c, xhat_c), vin_inv)
+    qx_poly = dntt.coset_intt_lf(qx_evals, SHIFT)[:, : n + 2 - ell]
 
     commitments: Dict[str, object] = {}
     commitments["z"] = kzg.commit_lf(srs, z_poly)
@@ -127,14 +173,16 @@ def prove(index: Index, cs: ConstraintSystem) -> Proof:
     commitments["z_c"] = kzg.commit_lf(srs, zm_polys["C"])
     commitments["h0"] = kzg.commit_lf(srs, h0_poly)
     commitments["q_x"] = kzg.commit_lf(srs, qx_poly)
+    commitments["s"] = kzg.commit_lf(srs, s_mask_poly)
 
     # ---- transcript / round 1 ----------------------------------------------
     tr = Transcript("varuna")
     tr.absorb_fr(n, m, ell)
     tr.absorb_points(index.index_commitments())
     tr.absorb_fr(*cs.public_inputs())
-    for name in ("z", "z_a", "z_b", "z_c", "h0", "q_x"):
+    for name in ("z", "z_a", "z_b", "z_c", "h0", "q_x", "s"):
         tr.absorb_point(commitments[name])
+    tr.absorb_fr(sigma_s)
     alpha, eta_a, eta_b, eta_c = tr.challenges(4)
     etas = {"A": eta_a, "B": eta_b, "C": eta_c}
 
@@ -161,19 +209,28 @@ def prove(index: Index, cs: ConstraintSystem) -> Proof:
         term = mul(zm_polys[mname], lf.const(etas[mname]))
         s_poly = term if s_poly is None else add(s_poly, term)
 
-    r_c = dntt.coset_ntt_lf(pl.pad_to(r_alpha_poly, 2 * n), SHIFT)
-    s_c = dntt.coset_ntt_lf(pl.pad_to(s_poly, 2 * n), SHIFT)
-    t_c = dntt.coset_ntt_lf(pl.pad_to(t_poly, 2 * n), SHIFT)
-    zf_c = dntt.coset_ntt_lf(pl.pad_to(z_poly, 2 * n), SHIFT)
-    q1_evals = sub(mul(r_c, s_c), mul(t_c, zf_c))
-    q1_poly = dntt.coset_intt_lf(q1_evals, SHIFT)
+    # masked degrees: r(n-1) * s_eta(n+1) and t(n-1) * z(n+1) are 2n, the
+    # mask s is 2n+1 -> evaluate q1 on a 4n coset.
+    r_c = dntt.coset_ntt_lf(pl.pad_to(r_alpha_poly, 4 * n), SHIFT)
+    s_c = dntt.coset_ntt_lf(pl.pad_to(s_poly, 4 * n), SHIFT)
+    t_c = dntt.coset_ntt_lf(pl.pad_to(t_poly, 4 * n), SHIFT)
+    zf_c = dntt.coset_ntt_lf(pl.pad_to(z_poly, 4 * n), SHIFT)
+    smask_c = dntt.coset_ntt_lf(pl.pad_to(s_mask_poly, 4 * n), SHIFT)
+    q1_evals = add(smask_c, sub(mul(r_c, s_c), mul(t_c, zf_c)))
+    q1_poly = dntt.coset_intt_lf(q1_evals, SHIFT)[:, : 2 * n + 2]
     h1_poly, rem = pl.divide_by_vanishing(q1_poly, n)
-    g1_poly = rem[:, 1:]  # rem = X g1 (constant term zero by the sum identity)
+    g1_poly = rem[:, 1:]  # rem = sigma_s/n + X g1 (by the masked sum identity)
 
+    # degree-bound commitment for g1 (bound n-2): X^(D-(n-2)) * g1
+    D = srs.max_degree
+    g1_shift_poly = jnp.concatenate(
+        [jnp.zeros((lf.L, D - (n - 2)), jnp.uint32), g1_poly], axis=1
+    )
     commitments["t"] = kzg.commit_lf(srs, t_poly)
     commitments["g1"] = kzg.commit_lf(srs, g1_poly)
     commitments["h1"] = kzg.commit_lf(srs, h1_poly)
-    for nm in ("t", "g1", "h1"):
+    commitments["g1_shift"] = kzg.commit_lf(srs, g1_shift_poly)
+    for nm in ("t", "g1", "h1", "g1_shift"):
         tr.absorb_point(commitments[nm])
     beta = tr.challenge()
 
@@ -225,17 +282,24 @@ def prove(index: Index, cs: ConstraintSystem) -> Proof:
 
         commitments[f"g2_{mn}"] = kzg.commit_lf(srs, g2_polys[mn])
         commitments[f"h2_{mn}"] = kzg.commit_lf(srs, h2_polys[mn])
+        # degree-bound commitment for g2 (bound m-2)
+        g2_polys[f"{mn}_shift"] = jnp.concatenate(
+            [jnp.zeros((lf.L, D - (m - 2)), jnp.uint32), g2_polys[mn]], axis=1
+        )
+        commitments[f"g2_shift_{mn}"] = kzg.commit_lf(srs, g2_polys[f"{mn}_shift"])
 
     tr.absorb_fr(sigmas["A"], sigmas["B"], sigmas["C"])
     for mn in "abc":
         tr.absorb_point(commitments[f"g2_{mn}"])
         tr.absorb_point(commitments[f"h2_{mn}"])
+        tr.absorb_point(commitments[f"g2_shift_{mn}"])
     gamma = tr.challenge()
 
     # ---- openings -----------------------------------------------------------
     beta_polys = {
         "z": z_poly, "z_a": zm_polys["A"], "z_b": zm_polys["B"], "z_c": zm_polys["C"],
-        "h0": h0_poly, "q_x": qx_poly, "t": t_poly, "g1": g1_poly, "h1": h1_poly,
+        "h0": h0_poly, "q_x": qx_poly, "s": s_mask_poly, "t": t_poly,
+        "g1": g1_poly, "h1": h1_poly, "g1_shift": g1_shift_poly,
     }
     gamma_polys = {}
     for mi in index.matrices:
@@ -246,6 +310,7 @@ def prove(index: Index, cs: ConstraintSystem) -> Proof:
         gamma_polys[f"rcp_{mn}"] = ipolys[f"rcp_{mn}"]
         gamma_polys[f"g2_{mn}"] = g2_polys[mn]
         gamma_polys[f"h2_{mn}"] = h2_polys[mn]
+        gamma_polys[f"g2_shift_{mn}"] = g2_polys[f"{mn}_shift"]
 
     beta_e = lf.const(beta)
     gamma_e = lf.const(gamma)
@@ -267,6 +332,7 @@ def prove(index: Index, cs: ConstraintSystem) -> Proof:
     return Proof(
         commitments=commitments,
         sigmas=(sigmas["A"], sigmas["B"], sigmas["C"]),
+        sigma_s=sigma_s,
         evals_beta=evals_beta,
         evals_gamma=evals_gamma,
         w_beta=w_beta,

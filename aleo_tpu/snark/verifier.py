@@ -54,16 +54,18 @@ def verify(vk: VerifyingKey, public_inputs: List[int], proof: Proof) -> bool:
     tr.absorb_fr(n, m, ell)
     tr.absorb_points(vk.index_commitments)
     tr.absorb_fr(*public_inputs)
-    for name in ("z", "z_a", "z_b", "z_c", "h0", "q_x"):
+    for name in ("z", "z_a", "z_b", "z_c", "h0", "q_x", "s"):
         tr.absorb_point(cm[name])
+    tr.absorb_fr(proof.sigma_s)
     alpha, eta_a, eta_b, eta_c = tr.challenges(4)
-    for nm in ("t", "g1", "h1"):
+    for nm in ("t", "g1", "h1", "g1_shift"):
         tr.absorb_point(cm[nm])
     beta = tr.challenge()
     tr.absorb_fr(sig_a, sig_b, sig_c)
     for mn in "abc":
         tr.absorb_point(cm[f"g2_{mn}"])
         tr.absorb_point(cm[f"h2_{mn}"])
+        tr.absorb_point(cm[f"g2_shift_{mn}"])
     gamma = tr.challenge()
     tr.absorb_fr(*[eb[k] for k in BETA_POLYS])
     tr.absorb_fr(*[eg[k] for k in GAMMA_POLYS])
@@ -82,25 +84,30 @@ def verify(vk: VerifyingKey, public_inputs: List[int], proof: Proof) -> bool:
     lag = rpoly.lagrange_coeffs_at(ell, beta)
     xhat_beta = sum(l * x for l, x in zip(lag, x_padded)) % R
     v_in_beta = (pow(beta, ell, R) - 1) % R
-    if ell < n:
-        if (eb["z"] - xhat_beta - eb["q_x"] * v_in_beta) % R != 0:
-            return False
-    else:
-        if (eb["z"] - xhat_beta) % R != 0:
-            return False
-    # lincheck sumcheck:  u_H(alpha,beta) s(beta) - t(beta) z(beta)
-    #                     = h1(beta) v_H(beta) + beta g1(beta)
+    if (eb["z"] - xhat_beta - eb["q_x"] * v_in_beta) % R != 0:
+        return False
+    # masked lincheck sumcheck:
+    #   s(beta) + u_H(alpha,beta) s_eta(beta) - t(beta) z(beta)
+    #     = h1(beta) v_H(beta) + beta g1(beta) + sigma_s / n
     if alpha == beta:
         return False  # negligible probability; avoid division by zero
     r_ab = (vh_alpha - vh_beta) * pow((alpha - beta) % R, -1, R) % R
     s_beta = (eta_a * eb["z_a"] + eta_b * eb["z_b"] + eta_c * eb["z_c"]) % R
-    lhs = (r_ab * s_beta - eb["t"] * eb["z"]) % R
-    rhs = (eb["h1"] * vh_beta + beta * eb["g1"]) % R
+    lhs = (eb["s"] + r_ab * s_beta - eb["t"] * eb["z"]) % R
+    rhs = (eb["h1"] * vh_beta + beta * eb["g1"] + proof.sigma_s * pow(n, -1, R)) % R
     if lhs != rhs:
         return False
     # t(beta) consistency with the K-side sums
     if (eta_a * sig_a + eta_b * sig_b + eta_c * sig_c - eb["t"]) % R != 0:
         return False
+
+    # ---- degree-bound checks (shifted commitments) -------------------------
+    D = vk.srs.max_degree
+    if eb["g1_shift"] != pow(beta, D - (n - 2), R) * eb["g1"] % R:
+        return False
+    for mn in "abc":
+        if eg[f"g2_shift_{mn}"] != pow(gamma, D - (m - 2), R) * eg[f"g2_{mn}"] % R:
+            return False
 
     # ---- AHP checks at gamma (per matrix) -----------------------------------
     vk_gamma = (pow(gamma, m, R) - 1) % R
