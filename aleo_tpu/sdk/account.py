@@ -113,8 +113,10 @@ class Address:
     @staticmethod
     def from_string(s: str) -> "Address":
         x = address_to_field(s)
-        # recover y from curve equation (canonical even root; stored with point
-        # identity only up to y sign — signature verification recovers both)
+        # Recover y from the curve equation. Both roots lie on the curve;
+        # pick the one in the prime-order subgroup (the snarkVM x-coordinate
+        # recovery convention that makes `is_owner_with_address_x_coordinate`
+        # sound, /root/reference/rust/src/api/blocking.rs:275).
         a, d = params.EDWARDS_A, params.EDWARDS_D
         num = (1 - a * x * x) % R
         den = (1 - d * x * x) % R
@@ -122,9 +124,9 @@ class Address:
 
         y = FR.sqrt(num * pow(den, -1, R) % R)
         P = (x, y)
-        if not edwards.is_on_curve(P):
-            y = R - y
-            P = (x, y)
+        if edwards.mul(ELL, P) != (0, 1):
+            P = (x, (R - y) % R)
+            assert edwards.mul(ELL, P) == (0, 1), "x not on the prime subgroup"
         return Address(P)
 
     def __str__(self):
