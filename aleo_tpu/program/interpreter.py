@@ -226,20 +226,31 @@ class Interpreter:
             regs[inst.dest] = a if c.data else b
             return
         if op.startswith("hash."):
+            from ..reference import pedersen
+
+            kind = op.split(".", 1)[1]
             val = self._to_value(ld(inst.operands[0]))
-            regs[inst.dest] = Value(
-                "field", poseidon.hash_psd(2, flatten(val), domain=f"aleo-tpu/{op}")
-            )
+            if kind in pedersen.HASH_WIDTHS:
+                out = pedersen.hash_instruction(kind, val)
+            else:
+                rate = {"psd2": 2, "psd4": 4, "psd8": 8}.get(kind, 2)
+                out = poseidon.hash_psd(rate, flatten(val), domain=f"aleo-tpu/{op}")
+            regs[inst.dest] = Value("field", out)
             return
         if op.startswith("commit."):
+            from ..reference import pedersen
+
+            kind = op.split(".", 1)[1]
             val = self._to_value(ld(inst.operands[0]))
             rand = self._to_value(ld(inst.operands[1]))
-            regs[inst.dest] = Value(
-                "field",
-                poseidon.hash_psd(
-                    2, flatten(val) + [rand.as_field()], domain=f"aleo-tpu/{op}"
-                ),
-            )
+            if kind in pedersen.HASH_WIDTHS:
+                out = pedersen.commit_instruction(kind, val, rand.as_field())
+            else:
+                rate = {"psd2": 2, "psd4": 4, "psd8": 8}.get(kind, 2)
+                out = poseidon.hash_psd(
+                    rate, flatten(val) + [rand.as_field()], domain=f"aleo-tpu/{op}"
+                )
+            regs[inst.dest] = Value("field", out)
             return
         if op in ("gt", "gte", "lt", "lte"):
             a, b = ld(inst.operands[0]), ld(inst.operands[1])

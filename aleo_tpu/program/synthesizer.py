@@ -263,6 +263,127 @@ class PoseidonGadget:
 
 
 # ---------------------------------------------------------------------------
+# in-circuit Pedersen / BHP over Edwards-BLS12 (mirrors reference.pedersen)
+# ---------------------------------------------------------------------------
+
+
+class PedersenGadget:
+    """Edwards-curve hash gadgets: `hash.ped*` / `hash.bhp*` / `commit.*`.
+
+    Edwards-BLS12 coordinates are Fr elements, so the whole group law lives
+    natively in the R1CS field — the reason Aleo's in-circuit hashes use
+    this curve. Complete twisted-Edwards addition: 7 constraints/add;
+    Pedersen bit: one conditional add (selector is linear in the bit); BHP
+    3-bit chunk: 2 muls (indicator product, sign flip) + one add.
+    Mirrors reference.pedersen exactly (same generators).
+    """
+
+    def __init__(self, g: Gadgets):
+        self.g = g
+        self.a = params.EDWARDS_A
+        self.d = params.EDWARDS_D
+
+    def _edwards_add(self, P, Q):
+        """Complete twisted-Edwards addition over CV coordinate pairs."""
+        g = self.g
+        x1, y1 = P
+        x2, y2 = Q
+        x1x2 = g.mul(x1, x2)
+        y1y2 = g.mul(y1, y2)
+        x1y2 = g.mul(x1, y2)
+        y1x2 = g.mul(y1, x2)
+        t = g.mul(x1x2, y1y2)              # x1 x2 y1 y2
+        dt = g.scale(t, self.d)
+        # x3 (1 + d t) = x1 y2 + y1 x2 ; y3 (1 - d t) = y1 y2 - a x1 x2
+        x3v = (x1y2.fval + y1x2.fval) * pow((1 + dt.fval) % R, -1, R) % R
+        y3v = (y1y2.fval - self.a * x1x2.fval) * pow((1 - dt.fval) % R, -1, R) % R
+        x3 = g.witness(x3v)
+        y3 = g.witness(y3v)
+        g.cs.enforce(x3.lc, LC.constant(1) + dt.lc, x1y2.lc + y1x2.lc)
+        g.cs.enforce(y3.lc, LC.constant(1) - dt.lc,
+                     y1y2.lc - x1x2.lc.scale(self.a))
+        return (x3, y3)
+
+    def _identity(self):
+        g = self.g
+        return (g.constant(0), g.constant(1))
+
+    def _cond_add_const(self, acc, b: CV, point):
+        """acc + (b ? point : identity); the selector is linear in b."""
+        g = self.g
+        gx, gy = point
+        sx = g.scale(b, gx)
+        sy = CV("field", LC.constant(1) + b.lc.scale((gy - 1) % R),
+                (1 + b.fval * (gy - 1)) % R, None)
+        return self._edwards_add(acc, (sx, sy))
+
+    def hash_point(self, bit_cvs, domain: str, use_bhp: bool):
+        """Accumulated Edwards point (x, y) over boolean-constrained bits."""
+        from ..reference import pedersen as ped
+
+        g = self.g
+        acc = self._identity()
+        if not use_bhp:
+            for i, b in enumerate(bit_cvs):
+                acc = self._cond_add_const(
+                    acc, b, ped.derive_generator(domain, i)
+                )
+            return acc
+        bits = list(bit_cvs)
+        while len(bits) % 3:
+            bits.append(g.constant(0, "boolean", False))
+        for i in range(0, len(bits), 3):
+            b0, b1, b2 = bits[i], bits[i + 1], bits[i + 2]
+            gp = ped.derive_generator(domain, i // 3)
+            mults = [ped.edwards.mul(k, gp) for k in (1, 2, 3, 4)]
+            p01 = g.mul(b0, b1)
+            # (1 + b0 + 2 b1) G selected via indicators over (b0, b1):
+            # ind = [1-b0-b1+p, b0-p, b1-p, p] — all linear given p = b0 b1
+
+            def sel(coord):
+                vals = [m[coord] for m in mults]
+                lc = (
+                    LC.constant(vals[0])
+                    + b0.lc.scale((vals[1] - vals[0]) % R)
+                    + b1.lc.scale((vals[2] - vals[0]) % R)
+                    + p01.lc.scale((vals[0] - vals[1] - vals[2] + vals[3]) % R)
+                )
+                fv = (
+                    vals[0]
+                    + b0.fval * (vals[1] - vals[0])
+                    + b1.fval * (vals[2] - vals[0])
+                    + p01.fval * (vals[0] - vals[1] - vals[2] + vals[3])
+                ) % R
+                return CV("field", lc, fv, None)
+
+            sx, sy = sel(0), sel(1)
+            # sign: x' = (1 - 2 b2) sx  (Edwards negation flips x only)
+            q = g.mul(b2, sx)
+            xs = CV("field", sx.lc - q.lc.scale(2),
+                    (sx.fval - 2 * q.fval) % R, None)
+            acc = self._edwards_add(acc, (xs, sy))
+        return acc
+
+    def hash(self, bit_cvs, domain: str, use_bhp: bool) -> CV:
+        out = self.hash_point(bit_cvs, domain, use_bhp)[0]
+        out.type_ = "field"
+        return out
+
+    def commit(self, bit_cvs, r_bit_cvs, domain: str, use_bhp: bool) -> CV:
+        """hash point + r*H via fixed-base conditional adds of 2^i H."""
+        from ..reference import pedersen as ped
+
+        acc = self.hash_point(bit_cvs, domain, use_bhp)
+        cur = ped.derive_generator(domain + "/blind", 0)
+        for b in r_bit_cvs:
+            acc = self._cond_add_const(acc, b, cur)
+            cur = ped.edwards.double(cur)
+        out = acc[0]
+        out.type_ = "field"
+        return out
+
+
+# ---------------------------------------------------------------------------
 # the synthesizer
 # ---------------------------------------------------------------------------
 
@@ -515,17 +636,39 @@ class _Ctx:
             regs[inst.dest] = self._ternary(c, a, b)
             return
         if op.startswith("hash."):
+            from ..reference import pedersen as ped
+
+            kind = op.split(".", 1)[1]
             val = ld(inst.operands[0])
-            regs[inst.dest] = self.psd2.hash(
-                self._flat(val), domain=f"aleo-tpu/{op}"
-            )
-            regs[inst.dest].type_ = "field"
+            if kind in ped.HASH_WIDTHS:
+                bits = self._value_bit_cvs(val)
+                regs[inst.dest] = self._pedersen().hash(
+                    bits, f"hash.{kind}", use_bhp=kind.startswith("bhp")
+                )
+            else:
+                rate = {"psd2": 2, "psd4": 4, "psd8": 8}.get(kind, 2)
+                regs[inst.dest] = self._psd(rate).hash(
+                    self._flat(val), domain=f"aleo-tpu/{op}"
+                )
+                regs[inst.dest].type_ = "field"
             return
         if op.startswith("commit."):
+            from ..reference import pedersen as ped
+
+            kind = op.split(".", 1)[1]
             val, rand = ld(inst.operands[0]), ld(inst.operands[1])
-            regs[inst.dest] = self.psd2.hash(
-                self._flat(val) + [rand], domain=f"aleo-tpu/{op}"
-            )
+            if kind in ped.HASH_WIDTHS:
+                bits = self._value_bit_cvs(val)
+                r_bits = self._bit_cvs_of(rand, 253)
+                regs[inst.dest] = self._pedersen().commit(
+                    bits, r_bits, f"commit.{kind}", use_bhp=kind.startswith("bhp")
+                )
+            else:
+                rate = {"psd2": 2, "psd4": 4, "psd8": 8}.get(kind, 2)
+                regs[inst.dest] = self._psd(rate).hash(
+                    self._flat(val) + [rand], domain=f"aleo-tpu/{op}"
+                )
+                regs[inst.dest].type_ = "field"
             return
         if op in ("gt", "gte", "lt", "lte"):
             a, b = ld(inst.operands[0]), ld(inst.operands[1])
@@ -575,6 +718,40 @@ class _Ctx:
 
     def _flat(self, v) -> List[CV]:
         return self.syn._flatten(self.g, v)
+
+    def _psd(self, rate: int) -> PoseidonGadget:
+        if rate == 2:
+            return self.psd2
+        cache = getattr(self, "_psd_cache", None)
+        if cache is None:
+            cache = self._psd_cache = {}
+        if rate not in cache:
+            cache[rate] = PoseidonGadget(self.g, rate)
+        return cache[rate]
+
+    def _pedersen(self) -> PedersenGadget:
+        if getattr(self, "_ped_gadget", None) is None:
+            self._ped_gadget = PedersenGadget(self.g)
+        return self._ped_gadget
+
+    def _bit_cvs_of(self, cv: CV, nbits: int) -> List[CV]:
+        """Boolean-constrained bit CVs of a scalar CV (LSB first)."""
+        bit_vars = self.g.decompose(cv, nbits)
+        return [
+            CV("boolean", LC.of(b), (cv.fval >> i) & 1, bool((cv.fval >> i) & 1))
+            for i, b in enumerate(bit_vars)
+        ]
+
+    def _value_bit_cvs(self, v) -> List[CV]:
+        """Circuit twin of reference.pedersen.value_bits."""
+        if isinstance(v, CV) and v.type_ in INT_WIDTHS:
+            return self._bit_cvs_of(v, INT_WIDTHS[v.type_])
+        if isinstance(v, CV) and v.type_ == "boolean":
+            return [v]
+        out: List[CV] = []
+        for cv in self._flat(v):
+            out.extend(self._bit_cvs_of(cv, 253))
+        return out
 
     def _ternary(self, c: CV, a, b):
         g = self.g
