@@ -140,6 +140,140 @@ def _first_bucket(p: G1LF, w: int, b: int) -> G1LF:
     return G1LF(f(p.x), f(p.y), f(p.z))
 
 
+def _top_window_split(c: int, w_total: int) -> tuple:
+    """(effective top-window bucket count, sub-split factor).
+
+    The top window covers only `NBITS+1 - c*(W-1)` bits, so its digit range
+    (and occupied bucket count) is far below 2^(c-1); without correction its
+    buckets hold ~n/2^(top_bits) entries and the round-robin trip count is
+    dominated by that skew (measured 8.3 s vs 0.3 s of useful adds at c=13,
+    2^16). Splitting each top bucket across the window's unused lanes
+    restores uniform occupancy; the sub-accumulators are merged afterwards
+    by log2(s) masked adds.
+    """
+    half = 1 << (c - 1)
+    top_bits = (NBITS + 1) - c * (w_total - 1)
+    mag_top = min(1 << top_bits, half)
+    return mag_top, half // mag_top
+
+
+@functools.lru_cache(maxsize=None)
+def _lane_layout_np(c: int, w_total: int, k: int = 1):
+    """Static per-lane layout (numpy): sub offsets, strides, merge masks,
+    and the post-merge reshuffle for k batched proofs.
+
+    Lane grid: k * W * half lanes, proof-major then window-major. Normal
+    windows: one lane per bucket (stride 1). Top window of each proof:
+    bucket b's segment is interleaved across s lanes (stride s); merge mask
+    d selects lanes with sub % 2^(d+1) == 0 and sub + 2^d < s.
+    """
+    import numpy as np
+
+    half = 1 << (c - 1)
+    mag_top, s = _top_window_split(c, w_total)
+    lanes = k * w_total * half
+    iota = np.arange(lanes)
+    win = (iota // half) % w_total
+    lane_in_win = iota % half
+    is_top = win == (w_total - 1)
+    sub = np.where(is_top, lane_in_win % s, 0)
+    bucket = np.where(is_top, lane_in_win // s, lane_in_win)
+    stride = np.where(is_top, s, 1).astype(np.int32)
+    merge_masks = []
+    d = 1
+    while d < s:
+        merge_masks.append(
+            (is_top & (sub % (2 * d) == 0) & (sub + d < s)).astype(np.uint32)
+        )
+        d *= 2
+    # reshuffle: weighted-scan wants bucket b's total at lane index b within
+    # its window; merged totals sit at sub-lane 0 (lane b*s).
+    src = np.where(
+        is_top & (lane_in_win < mag_top),
+        iota - lane_in_win + lane_in_win * s,
+        iota,
+    ).astype(np.int32)
+    keep = (~is_top | (lane_in_win < mag_top)).astype(np.uint32)
+    return (
+        sub.astype(np.int32), bucket.astype(np.int32), stride,
+        merge_masks, src, keep, s,
+    )
+
+
+def _bucket_grid(sorted_keys, c: int, w_total: int, k: int, m_exp: int):
+    """(lane_start, lane_stride, lane_count) int32 arrays over the lane grid,
+    with top-window sub-splitting applied."""
+    half = 1 << (c - 1)
+    sub_np, bucket_np, stride_np, merge_masks, src_np, keep_np, s = (
+        _lane_layout_np(c, w_total, k)
+    )
+    qproof = jnp.repeat(jnp.arange(k, dtype=jnp.uint32), w_total * half)
+    qwin = jnp.tile(jnp.repeat(jnp.arange(w_total, dtype=jnp.uint32), half), (k,))
+    qmag = jnp.asarray(bucket_np).astype(jnp.uint32) + 1
+    if k == 1:
+        qkeys = (qwin << c) | qmag
+    else:
+        qkeys = (qproof << (c + 8)) | (qwin << c) | qmag
+    starts = jnp.searchsorted(sorted_keys, qkeys, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_keys, qkeys, side="right").astype(jnp.int32)
+    counts = ends - starts
+    sub = jnp.asarray(sub_np)
+    stride = jnp.asarray(stride_np)
+    lane_start = starts + sub
+    lane_count = jnp.maximum(0, (counts - sub + stride - 1) // stride)
+    return lane_start, stride, lane_count, merge_masks, src_np, keep_np, s
+
+
+def _accumulate_buckets(
+    sorted_entries, table, lane_start, lane_stride, lane_count,
+    merge_masks, src_np, keep_np, m_exp: int,
+):
+    """Round-robin fused-add accumulation + top-window sub merge/reshuffle."""
+    L = table.shape[1] // 3
+    lanes = lane_start.shape[0]
+    max_count = jnp.max(lane_count)
+    acc0 = _identity_lf(lanes)
+
+    def cond(state):
+        return state[0] < max_count
+
+    def body(state):
+        j, ax, ay, az = state
+        pos = jnp.minimum(lane_start + j * lane_stride, m_exp - 1)
+        valid = j < lane_count
+        entry = sorted_entries[pos]
+        rows = table[entry & jnp.uint32(0x7FFFFFFF)]
+        coords = rows.T
+        p = G1LF(coords[:L], coords[L : 2 * L], coords[2 * L :])
+        acc = gf.add_sel_lf(G1LF(ax, ay, az), p, entry >> 31, valid)
+        return j + 1, acc.x, acc.y, acc.z
+
+    _, ax, ay, az = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), acc0.x, acc0.y, acc0.z)
+    )
+    acc = G1LF(ax, ay, az)
+
+    # merge top-window sub-accumulators (log2(s) masked full-grid adds)
+    shift = 1
+    for mask_np in merge_masks:
+        idx = jnp.minimum(jnp.arange(lanes) + shift, lanes - 1)
+        partner = G1LF(acc.x[:, idx], acc.y[:, idx], acc.z[:, idx])
+        acc = gf.add_sel_lf(
+            acc, partner, jnp.zeros((lanes,), jnp.uint32), jnp.asarray(mask_np)
+        )
+        shift *= 2
+    if len(merge_masks):
+        ident = _identity_lf(lanes)
+        src = jnp.asarray(src_np)
+        keep = jnp.asarray(keep_np)[None, :] != 0
+        acc = G1LF(
+            jnp.where(keep, acc.x[:, src], ident.x),
+            jnp.where(keep, acc.y[:, src], ident.y),
+            jnp.where(keep, acc.z[:, src], ident.z),
+        )
+    return acc
+
+
 @functools.partial(jax.jit, static_argnames=("c",))
 def msm_windows(scalars_raw: jnp.ndarray, table: jnp.ndarray, c: int) -> G1LF:
     """Per-window MSM totals: G1LF with batch axis = window index (W lanes).
@@ -148,11 +282,9 @@ def msm_windows(scalars_raw: jnp.ndarray, table: jnp.ndarray, c: int) -> G1LF:
     table: (N, 3L) gather table from `make_table`.
     """
     n = table.shape[0]
-    L = table.shape[1] // 3
     w_total = _nwin(c)
     half = 1 << (c - 1)
     m_exp = w_total * n  # expanded (window, point) pairs
-    m_buckets = w_total * half
 
     digits = signed_digits(scalars_raw, c)  # (W, N) int32
     mag = jnp.abs(digits).astype(jnp.uint32)
@@ -164,42 +296,85 @@ def msm_windows(scalars_raw: jnp.ndarray, table: jnp.ndarray, c: int) -> G1LF:
     entries = (sign.reshape(-1) << 31) | pt_ids
     sorted_keys, sorted_entries = jax.lax.sort_key_val(keys, entries)
 
-    # bucket (w, b) for b in 1..half -> contiguous segment in sorted order
-    qwin = jnp.repeat(jnp.arange(w_total, dtype=jnp.uint32), half)
-    qmag = jnp.tile(jnp.arange(1, half + 1, dtype=jnp.uint32), (w_total,))
-    qkeys = (qwin << c) | qmag
-    starts = jnp.searchsorted(sorted_keys, qkeys, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_keys, qkeys, side="right").astype(jnp.int32)
-    counts = ends - starts
-    max_count = jnp.max(counts)
-
-    acc0 = _identity_lf(m_buckets)
-
-    def cond(state):
-        j = state[0]
-        return j < max_count
-
-    def body(state):
-        j, ax, ay, az = state
-        pos = jnp.minimum(starts + j, m_exp - 1)
-        valid = j < counts
-        entry = sorted_entries[pos]
-        rows = table[entry & jnp.uint32(0x7FFFFFFF)]  # (M_T, 3L)
-        coords = rows.T
-        p = G1LF(coords[:L], coords[L : 2 * L], coords[2 * L :])
-        acc = gf.add_sel_lf(G1LF(ax, ay, az), p, entry >> 31, valid)
-        return j + 1, acc.x, acc.y, acc.z
-
-    _, ax, ay, az = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), acc0.x, acc0.y, acc0.z)
+    lane_start, lane_stride, lane_count, merge_masks, src_np, keep_np, _s = (
+        _bucket_grid(sorted_keys, c, w_total, 1, m_exp)
     )
-    buckets = G1LF(ax, ay, az)  # lane (w*half + (b-1)) holds S_{w,b}
+    buckets = _accumulate_buckets(
+        sorted_entries, table, lane_start, lane_stride, lane_count,
+        merge_masks, src_np, keep_np, m_exp,
+    )
 
     # weighted reduction: sum_b b*S_b == (suffix-scan applied twice)[0].
     # Each scan is one fused-add instance under fori_loop.
     buckets = _scan_add_buckets(buckets, w_total, half)
     buckets = _scan_add_buckets(buckets, w_total, half)
     return _first_bucket(buckets, w_total, half)  # (L, W)
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def msm_windows_batch(scalars_raw: jnp.ndarray, table: jnp.ndarray, c: int) -> G1LF:
+    """Multi-MSM over a SHARED point table: k MSMs in one bucket pipeline.
+
+    scalars_raw: (k, N, FR_LIMBS) uint32 standard-form limbs; table: (N, 3L).
+    Returns G1LF with batch axis k*W (proof-major): lane p*W + w holds proof
+    p's window-w total.
+
+    The batch dimension rides the same one-global-sort formulation as
+    `msm_windows` — the proof index joins the sort key above (window, |digit|)
+    — so the k MSMs share every round's fused Pallas add across k*W*2^(c-1)
+    lanes. Bucket-occupancy tails amortize across the batch: the round count
+    is max occupancy over ALL proofs (≈ the single-proof count), while lane
+    utilization grows k-fold — the dp-batched commitment path of
+    `snark/batch.py` (BASELINE config 5).
+    """
+    k, n = scalars_raw.shape[0], scalars_raw.shape[1]
+    w_total = _nwin(c)
+    half = 1 << (c - 1)
+    m_exp = k * w_total * n
+
+    digits = jax.vmap(lambda s: signed_digits(s, c))(scalars_raw)  # (k, W, N)
+    mag = jnp.abs(digits).astype(jnp.uint32)
+    sign = (digits < 0).astype(jnp.uint32)
+
+    proof_ids = jnp.repeat(jnp.arange(k, dtype=jnp.uint32), w_total * n)
+    win_ids = jnp.tile(
+        jnp.repeat(jnp.arange(w_total, dtype=jnp.uint32), n), (k,)
+    )
+    keys = (proof_ids << (c + 8)) | (win_ids << c) | mag.reshape(-1)
+    pt_ids = jnp.tile(jnp.arange(n, dtype=jnp.uint32), (k * w_total,))
+    entries = (sign.reshape(-1) << 31) | pt_ids
+    sorted_keys, sorted_entries = jax.lax.sort_key_val(keys, entries)
+
+    lane_start, lane_stride, lane_count, merge_masks, src_np, keep_np, _s = (
+        _bucket_grid(sorted_keys, c, w_total, k, m_exp)
+    )
+    buckets = _accumulate_buckets(
+        sorted_entries, table, lane_start, lane_stride, lane_count,
+        merge_masks, src_np, keep_np, m_exp,
+    )
+    buckets = _scan_add_buckets(buckets, k * w_total, half)
+    buckets = _scan_add_buckets(buckets, k * w_total, half)
+    return _first_bucket(buckets, k * w_total, half)  # (L, k*W)
+
+
+def msm_batch_host(scalars_raw: jnp.ndarray, table: jnp.ndarray, c: int | None = None):
+    """k MSMs over one table -> k host affine points (device buckets +
+    per-proof host window combine)."""
+    k = scalars_raw.shape[0]
+    if c is None:
+        c = auto_c(scalars_raw.shape[1])
+    assert c + 8 + k.bit_length() <= 32, "sort key packing overflow"
+    windows = msm_windows_batch(scalars_raw, table, c=c)
+    w_total = _nwin(c)
+    out = []
+    for p in range(k):
+        wp = G1LF(
+            windows.x[:, p * w_total : (p + 1) * w_total],
+            windows.y[:, p * w_total : (p + 1) * w_total],
+            windows.z[:, p * w_total : (p + 1) * w_total],
+        )
+        out.append(combine_windows_host(wp, c))
+    return out
 
 
 def _combine_device(windows: G1LF, c: int) -> G1Points:

@@ -143,20 +143,23 @@ def commit_lf(srs: Srs, coeffs_lf: jnp.ndarray, c: int | None = None):
     CPU: host bigint jacobian Pippenger (beats XLA:CPU >10x on the group law).
     """
     from ..fields import fr_lf as flf
+    from ..utils import profiling as prof
 
     n = coeffs_lf.shape[1]
     assert n <= srs.max_degree + 1, "polynomial exceeds SRS degree"
+    prof.counter("kzg/commit_points", n)
     if jax.default_backend() != "tpu":
         ints = [int(v) for v in flf.decode(coeffs_lf)]
         pts = srs.host_affine()[:n]
         from ..reference.msm import msm_pippenger_jac
 
         return msm_pippenger_jac(ints, pts, c=8)
-    n_pad = min(1 << max(2, (n - 1).bit_length()), srs.max_degree + 1)
-    coeffs_lf = pl_lf.pad_to(coeffs_lf, max(n, n_pad))
-    raw = _from_mont_lf_j(coeffs_lf).T
-    table = make_table(_slice_powers(srs, coeffs_lf.shape[1]))
-    return msm_fast_host(raw, table, c=c)
+    with prof.stage("kzg/commit"):
+        n_pad = min(1 << max(2, (n - 1).bit_length()), srs.max_degree + 1)
+        coeffs_lf = pl_lf.pad_to(coeffs_lf, max(n, n_pad))
+        raw = _from_mont_lf_j(coeffs_lf).T
+        table = make_table(_slice_powers(srs, coeffs_lf.shape[1]))
+        return msm_fast_host(raw, table, c=c)
 
 
 def open_at_lf(srs: Srs, coeffs_lf: jnp.ndarray, z_lf: jnp.ndarray, c: int | None = None):

@@ -1,0 +1,343 @@
+"""Batched Varuna prover: k same-circuit transitions in one device pipeline.
+
+BASELINE.json config 5 (batch-prove token multi-record transactions): all k
+proofs share one `Index` (same function circuit), so every device stage —
+spmv, NTTs, elementwise rounds, batched inversions — runs vmapped over a
+leading batch axis (one dispatch for the whole batch), and every KZG
+commitment round uses the shared-table multi-MSM
+(`msm.msm_windows_batch`: the k MSMs ride one sort + one fused-add bucket
+pipeline, amortizing the Pippenger tail rounds across the batch).
+
+Host work (Fiat-Shamir transcripts, window combines) stays per-proof — each
+proof has its own independent transcript, exactly as k separate
+`Trace::prove_execution` calls would (SURVEY.md §3.1).
+
+On a multi-chip mesh the batch axis is the dp axis: shard the leading k
+dimension of every batched array with jax.sharding and this pipeline
+becomes data-parallel batch proving (the dryrun's dp mesh shape,
+__graft_entry__.py).
+"""
+
+from __future__ import annotations
+
+import random as _random
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from .. import params
+from ..fields import fr_lf as lf
+from ..msm import msm as msm_mod
+from ..ntt import ntt as dntt
+from ..pcs import kzg, poly_lf as pl
+from .indexer import Index, z_evaluations
+from .prover import BETA_POLYS, GAMMA_POLYS, Proof, _mask_vh
+from .r1cs import ConstraintSystem
+from .sparse import spmv_lf
+from .transcript import Transcript
+
+R = params.R
+SHIFT = params.FR_GENERATOR
+
+# vmapped device stages (batch axis leading)
+_ntt_b = jax.vmap(dntt.ntt_lf)
+_intt_b = jax.vmap(dntt.intt_lf)
+_mul_b = jax.vmap(lf.mul)
+_add_b = jax.vmap(lf.add)
+_sub_b = jax.vmap(lf.sub)
+_binv_b = jax.vmap(lf.batch_inv)
+_tsum_b = jax.vmap(lf.tree_sum)
+_eval_b = jax.vmap(pl.eval_coeffs)
+
+
+def _coset_ntt_b(x, shift):
+    return jax.vmap(lambda a: dntt.coset_ntt_lf(a, shift))(x)
+
+
+def _coset_intt_b(x, shift):
+    return jax.vmap(lambda a: dntt.coset_intt_lf(a, shift))(x)
+
+
+def _pad_b(x, n):
+    k = x.shape[2]
+    if k == n:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((x.shape[0], x.shape[1], n - k), x.dtype)], axis=2
+    )
+
+
+def _const_b(vals: List[int], n: int = 1) -> jnp.ndarray:
+    """Per-proof host scalars -> (k, L, n) Montgomery limbs."""
+    enc = lf.encode(vals)                   # (L, k)
+    return jnp.broadcast_to(enc.T[:, :, None], (len(vals), lf.L, n))
+
+
+def _commit_batch(srs, stack, c=None):
+    """stack (k, L, n) -> k host affine points (shared-table multi-MSM)."""
+    k, _, n = stack.shape
+    assert n <= srs.max_degree + 1
+    if jax.default_backend() != "tpu":
+        from ..reference.msm import msm_pippenger_jac
+
+        pts = srs.host_affine()[:n]
+        return [
+            msm_pippenger_jac([int(v) for v in lf.decode(stack[p])], pts, c=8)
+            for p in range(k)
+        ]
+    n_pad = min(1 << max(2, (n - 1).bit_length()), srs.max_degree + 1)
+    stack = _pad_b(stack, max(n, n_pad))
+    raw = jax.vmap(lf.from_mont)(stack)            # (k, L, n)
+    raw_ll = jnp.swapaxes(raw, 1, 2)               # (k, n, L)
+    table = msm_mod.make_table(
+        msm_mod.G1Points(
+            srs.powers.x[: stack.shape[2]],
+            srs.powers.y[: stack.shape[2]],
+            srs.powers.z[: stack.shape[2]],
+        )
+    )
+    return msm_mod.msm_batch_host(raw_ll, table, c=c)
+
+
+def prove_batch(index: Index, cs_list: List[ConstraintSystem], rng=None) -> List[Proof]:
+    """k proofs under one index; returns one Proof per constraint system."""
+    k = len(cs_list)
+    assert k >= 1
+    n, m, ell = index.n, index.m, index.ell
+    srs = index.srs
+    if rng is None:
+        rng = _random.SystemRandom()
+
+    # ---- batched witness layout --------------------------------------------
+    z_evals = jnp.stack(
+        [lf.encode(list(z_evaluations(index, cs))) for cs in cs_list]
+    )                                                   # (k, L, n)
+    spmv_b = {
+        mi.name: jax.vmap(lambda x, t=mi.by_row: spmv_lf(t, x))(z_evals)
+        for mi in index.matrices
+    }
+    mask = lambda pb: jnp.stack(
+        [
+            _mask_vh(pb[p], n, rng.randrange(R), rng.randrange(R))
+            for p in range(k)
+        ]
+    )
+    z_poly = mask(_intt_b(z_evals))                     # (k, L, n+2)
+    zm_polys = {key: mask(_intt_b(v)) for key, v in spmv_b.items()}
+
+    s_coeff_list = [[rng.randrange(R) for _ in range(2 * n + 2)] for _ in range(k)]
+    sigma_s = [
+        n * (sc[0] + sc[n] + sc[2 * n]) % R for sc in s_coeff_list
+    ]
+    s_mask = jnp.stack([lf.encode(sc) for sc in s_coeff_list])
+
+    # ---- rowcheck + input quotients ----------------------------------------
+    za_c = _coset_ntt_b(_pad_b(zm_polys["A"], 4 * n), SHIFT)
+    zb_c = _coset_ntt_b(_pad_b(zm_polys["B"], 4 * n), SHIFT)
+    zc_c = _coset_ntt_b(_pad_b(zm_polys["C"], 4 * n), SHIFT)
+    vh_inv = pl._coset_vh_inv(4 * n, n, SHIFT)[None]
+    h0_evals = _mul_b(_sub_b(_mul_b(za_c, zb_c), zc_c), jnp.broadcast_to(vh_inv, za_c.shape))
+    h0_poly = _coset_intt_b(h0_evals, SHIFT)[:, :, : n + 3]
+
+    x_pubs = [cs.public_inputs() + [0] * (ell - cs.num_inputs) for cs in cs_list]
+    xhat = jnp.stack([lf.encode(x) for x in x_pubs])
+    xhat_poly = _intt_b(xhat) if ell > 1 else xhat
+    z_c = _coset_ntt_b(_pad_b(z_poly, 2 * n), SHIFT)
+    xhat_c = _coset_ntt_b(_pad_b(xhat_poly, 2 * n), SHIFT)
+    vin_inv = pl._coset_vh_inv(2 * n, ell, SHIFT)[None]
+    qx_evals = _mul_b(_sub_b(z_c, xhat_c), jnp.broadcast_to(vin_inv, z_c.shape))
+    qx_poly = _coset_intt_b(qx_evals, SHIFT)[:, :, : n + 2 - ell]
+
+    cms = {}
+    for name, stack in (
+        ("z", z_poly), ("z_a", zm_polys["A"]), ("z_b", zm_polys["B"]),
+        ("z_c", zm_polys["C"]), ("h0", h0_poly), ("q_x", qx_poly),
+        ("s", s_mask),
+    ):
+        cms[name] = _commit_batch(srs, stack)
+
+    # ---- transcripts / round 1 ---------------------------------------------
+    trs = [Transcript("varuna") for _ in range(k)]
+    for p, tr in enumerate(trs):
+        tr.absorb_fr(n, m, ell)
+        tr.absorb_points(index.index_commitments())
+        tr.absorb_fr(*cs_list[p].public_inputs())
+        for name in ("z", "z_a", "z_b", "z_c", "h0", "q_x", "s"):
+            tr.absorb_point(cms[name][p])
+        tr.absorb_fr(sigma_s[p])
+    chals = [tr.challenges(4) for tr in trs]
+    alphas = [ch[0] for ch in chals]
+    etas = {"A": [ch[1] for ch in chals], "B": [ch[2] for ch in chals],
+            "C": [ch[3] for ch in chals]}
+
+    # ---- round 2 ------------------------------------------------------------
+    dH = dntt.domain(n)
+    vh_alphas = [(pow(a, n, R) - 1) % R for a in alphas]
+    alpha_b = _const_b(alphas, n)
+    wpow = jnp.broadcast_to(jnp.asarray(dH.wpow_np).T[None], (k, lf.L, n))
+    denom = _sub_b(alpha_b, wpow)
+    u_alpha = _mul_b(_binv_b(denom), _const_b(vh_alphas, n))
+    t_vec = None
+    for mi in index.matrices:
+        contrib = _mul_b(
+            jax.vmap(lambda x, t=mi.by_col: spmv_lf(t, x))(u_alpha),
+            _const_b(etas[mi.name], n),
+        )
+        t_vec = contrib if t_vec is None else _add_b(t_vec, contrib)
+    t_poly = _intt_b(t_vec)
+
+    r_alpha = jax.vmap(lambda z: lf.powers(z, n))(_const_b(alphas))[:, :, ::-1]
+    s_eta = None
+    for mname in ("A", "B", "C"):
+        term = _mul_b(zm_polys[mname], _const_b(etas[mname], zm_polys[mname].shape[2]))
+        s_eta = term if s_eta is None else _add_b(s_eta, term)
+
+    r_c = _coset_ntt_b(_pad_b(r_alpha, 4 * n), SHIFT)
+    s_c = _coset_ntt_b(_pad_b(s_eta, 4 * n), SHIFT)
+    t_c = _coset_ntt_b(_pad_b(t_poly, 4 * n), SHIFT)
+    zf_c = _coset_ntt_b(_pad_b(z_poly, 4 * n), SHIFT)
+    sm_c = _coset_ntt_b(_pad_b(s_mask, 4 * n), SHIFT)
+    q1_evals = _add_b(sm_c, _sub_b(_mul_b(r_c, s_c), _mul_b(t_c, zf_c)))
+    q1_poly = _coset_intt_b(q1_evals, SHIFT)[:, :, : 2 * n + 2]
+    dvv = jax.vmap(lambda a: pl.divide_by_vanishing(a, n))
+    h1_poly, rem = dvv(q1_poly)
+    g1_poly = rem[:, :, 1:]
+
+    D = srs.max_degree
+    g1_shift = jnp.concatenate(
+        [jnp.zeros((k, lf.L, D - (n - 2)), jnp.uint32), g1_poly], axis=2
+    )
+    for name, stack in (("t", t_poly), ("g1", g1_poly), ("h1", h1_poly),
+                        ("g1_shift", g1_shift)):
+        cms[name] = _commit_batch(srs, stack)
+    for p, tr in enumerate(trs):
+        for nm in ("t", "g1", "h1", "g1_shift"):
+            tr.absorb_point(cms[nm][p])
+    betas = [tr.challenge() for tr in trs]
+
+    # ---- round 3 ------------------------------------------------------------
+    vh_betas = [(pow(b, n, R) - 1) % R for b in betas]
+    ab_scale = _const_b([va * vb % R for va, vb in zip(vh_alphas, vh_betas)], m)
+    alpha_beta = _const_b([a * b % R for a, b in zip(alphas, betas)], m)
+    sigmas = {}
+    g2_polys, h2_polys = {}, {}
+    vk_inv = pl._coset_vh_inv(4 * m, m, SHIFT)[None]
+    for mi in index.matrices:
+        mn = mi.name.lower()
+        col_e = jnp.broadcast_to(mi.col_evals.T[None], (k, lf.L, m))
+        row_e = jnp.broadcast_to(mi.row_evals.T[None], (k, lf.L, m))
+        rcp_e = jnp.broadcast_to(mi.rcp_evals.T[None], (k, lf.L, m))
+        cval_e = jnp.broadcast_to(mi.cval_evals.T[None], (k, lf.L, m))
+        b_e = _add_b(
+            _sub_b(alpha_beta, _add_b(
+                _mul_b(col_e, _const_b(alphas, m)),
+                _mul_b(row_e, _const_b(betas, m)),
+            )),
+            rcp_e,
+        )
+        a_e = _mul_b(cval_e, ab_scale)
+        f_e = _mul_b(a_e, _binv_b(b_e))
+        sig = [int(v) for v in lf.decode(
+            jnp.swapaxes(_tsum_b(f_e), 0, 2).reshape(lf.L, k)
+        )]
+        sigmas[mi.name] = sig
+        f_poly = _intt_b(f_e)
+        g2_polys[mn] = f_poly[:, :, 1:]
+        ip = {p: jnp.broadcast_to(getattr(mi, f"{p}_poly").T[None], (k, lf.L, m))
+              for p in ("row", "col", "rcp", "cval")}
+        row_c = _coset_ntt_b(_pad_b(ip["row"], 4 * m), SHIFT)
+        col_c = _coset_ntt_b(_pad_b(ip["col"], 4 * m), SHIFT)
+        rcp_c = _coset_ntt_b(_pad_b(ip["rcp"], 4 * m), SHIFT)
+        cval_c = _coset_ntt_b(_pad_b(ip["cval"], 4 * m), SHIFT)
+        f_c = _coset_ntt_b(_pad_b(f_poly, 4 * m), SHIFT)
+        b_c = _add_b(
+            _sub_b(
+                _const_b([a * b % R for a, b in zip(alphas, betas)], 4 * m),
+                _add_b(_mul_b(col_c, _const_b(alphas, 4 * m)),
+                       _mul_b(row_c, _const_b(betas, 4 * m))),
+            ),
+            rcp_c,
+        )
+        a_c = _mul_b(cval_c, _const_b(
+            [va * vb % R for va, vb in zip(vh_alphas, vh_betas)], 4 * m))
+        num = _sub_b(_mul_b(b_c, f_c), a_c)
+        h2_evals = _mul_b(num, jnp.broadcast_to(vk_inv, num.shape))
+        h2_polys[mn] = _coset_intt_b(h2_evals, SHIFT)[:, :, : m - 1]
+        g2_polys[f"{mn}_shift"] = jnp.concatenate(
+            [jnp.zeros((k, lf.L, D - (m - 2)), jnp.uint32), g2_polys[mn]], axis=2
+        )
+        cms[f"g2_{mn}"] = _commit_batch(srs, g2_polys[mn])
+        cms[f"h2_{mn}"] = _commit_batch(srs, h2_polys[mn])
+        cms[f"g2_shift_{mn}"] = _commit_batch(srs, g2_polys[f"{mn}_shift"])
+
+    for p, tr in enumerate(trs):
+        tr.absorb_fr(sigmas["A"][p], sigmas["B"][p], sigmas["C"][p])
+        for mn in "abc":
+            tr.absorb_point(cms[f"g2_{mn}"][p])
+            tr.absorb_point(cms[f"h2_{mn}"][p])
+            tr.absorb_point(cms[f"g2_shift_{mn}"][p])
+    gammas = [tr.challenge() for tr in trs]
+
+    # ---- openings -----------------------------------------------------------
+    beta_stacks = {
+        "z": z_poly, "z_a": zm_polys["A"], "z_b": zm_polys["B"],
+        "z_c": zm_polys["C"], "h0": h0_poly, "q_x": qx_poly, "s": s_mask,
+        "t": t_poly, "g1": g1_poly, "h1": h1_poly, "g1_shift": g1_shift,
+    }
+    gamma_stacks = {}
+    for mi in index.matrices:
+        mn = mi.name.lower()
+        for pname in ("row", "col", "cval", "rcp"):
+            gamma_stacks[f"{pname}_{mn}"] = jnp.broadcast_to(
+                getattr(mi, f"{pname}_poly").T[None], (k, lf.L, m)
+            )
+        gamma_stacks[f"g2_{mn}"] = g2_polys[mn]
+        gamma_stacks[f"h2_{mn}"] = h2_polys[mn]
+        gamma_stacks[f"g2_shift_{mn}"] = g2_polys[f"{mn}_shift"]
+
+    beta_b = _const_b(betas)
+    gamma_b = _const_b(gammas)
+
+    def evals_of(stacks, z_b):
+        out = {}
+        for name, stack in stacks.items():
+            y = _eval_b(stack, z_b)                     # (k, L, 1)
+            out[name] = [int(v) for v in lf.decode(
+                jnp.swapaxes(y, 0, 2).reshape(lf.L, k))]
+        return out
+
+    evals_beta = evals_of(beta_stacks, beta_b)
+    evals_gamma = evals_of(gamma_stacks, gamma_b)
+
+    for p, tr in enumerate(trs):
+        tr.absorb_fr(*[evals_beta[kk][p] for kk in BETA_POLYS])
+        tr.absorb_fr(*[evals_gamma[kk][p] for kk in GAMMA_POLYS])
+    xi1s = [tr.challenge() for tr in trs]
+    xi2s = [tr.challenge() for tr in trs]
+
+    def batch_open(stacks, names, z_b, xi_list):
+        max_len = max(stacks[nm].shape[2] for nm in names)
+        stacked = jnp.stack([_pad_b(stacks[nm], max_len) for nm in names], axis=2)
+        gpows = jax.vmap(lambda z: lf.powers(z, len(names)))(_const_b(xi_list))
+        acc = jax.vmap(pl.fold_stack)(stacked, gpows)
+        qy = jax.vmap(pl.divide_by_linear_via_domain)(acc, z_b)
+        return _commit_batch(srs, qy[0])
+
+    w_betas = batch_open(beta_stacks, BETA_POLYS, beta_b, xi1s)
+    w_gammas = batch_open(gamma_stacks, GAMMA_POLYS, gamma_b, xi2s)
+
+    proofs = []
+    for p in range(k):
+        proofs.append(
+            Proof(
+                commitments={name: pts[p] for name, pts in cms.items()},
+                sigmas=(sigmas["A"][p], sigmas["B"][p], sigmas["C"][p]),
+                sigma_s=sigma_s[p],
+                evals_beta={kk: v[p] for kk, v in evals_beta.items()},
+                evals_gamma={kk: v[p] for kk, v in evals_gamma.items()},
+                w_beta=w_betas[p],
+                w_gamma=w_gammas[p],
+            )
+        )
+    return proofs

@@ -61,6 +61,7 @@ from .indexer import Index, z_evaluations
 from .r1cs import ConstraintSystem
 from .sparse import spmv_lf
 from .transcript import Transcript
+from ..utils import profiling as prof
 
 R = params.R
 SHIFT = params.FR_GENERATOR  # coset shift for quotient computations
@@ -147,6 +148,7 @@ def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
         ipolys[f"cval_{mn}"] = mi.cval_poly.T
         ipolys[f"rcp_{mn}"] = mi.rcp_poly.T
 
+    prof.counter("prove/constraints", cs.num_constraints)
     # ---- rowcheck quotient h0 ----------------------------------------------
     # masked deg(z_M) = n+1, so deg(za*zb) = 2n+2: evaluate on a 4n coset.
     za_c = dntt.coset_ntt_lf(pl.pad_to(zm_polys["A"], 4 * n), SHIFT)

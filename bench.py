@@ -18,11 +18,21 @@ Secondary metrics (stderr + BENCH_DETAIL json line on stderr):
 """
 
 import json
+import os
 import random
 import sys
 import time
 
 import jax
+
+# Persistent compilation cache: Mosaic/XLA compiles of the fused group-law
+# kernels cost minutes cold through the axon tunnel; cache them across runs.
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/aleo_tpu_xla")
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 import jax.numpy as jnp
 
 CPU_ANCHOR_MSM_PPS = 5.0e5  # see BASELINE.md: CPU anchor for 2^16 MSM

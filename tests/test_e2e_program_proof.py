@@ -45,6 +45,7 @@ def test_micro_program_proof_roundtrip(micro_keys):
     assert pipeline.verify_execution(keys, ep)
 
 
+@pytest.mark.slow
 def test_micro_program_proof_rejects_tampered_output(micro_keys):
     reg, keys = micro_keys
     ep = pipeline.prove_execution(keys, reg, [Value("u64", 7)])

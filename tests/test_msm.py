@@ -5,6 +5,8 @@ import random
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full-size device proofs/kernels; see pytest.ini tiers
+
 from aleo_tpu import params
 from aleo_tpu.msm.msm import msm_host
 from aleo_tpu.reference.curve import G1
@@ -43,3 +45,31 @@ def test_msm_other_window_size():
     pts = [G1.mul(rng.randrange(1, 1000), G) for _ in range(N)]
     scalars = [rng.randrange(params.R) for _ in range(N)]
     assert msm_host(scalars, pts, c=4) == msm_naive(scalars, pts)
+
+
+def test_msm_batch_matches_single(rng):
+    """Shared-table multi-MSM (batch.py's commitment path) vs per-proof MSM."""
+    import jax.numpy as jnp
+
+    from aleo_tpu import params
+    from aleo_tpu.curves import g1
+    from aleo_tpu.fields.modring import FR_RING, ints_to_limbs
+    from aleo_tpu.msm import msm as msm_mod
+    from aleo_tpu.reference.curve import G1
+    from aleo_tpu.reference.msm import msm_pippenger_jac
+
+    n, k = 64, 3
+    base = G1.generator()
+    pts, cur = [], base
+    for _ in range(n):
+        pts.append(cur)
+        cur = G1.add(cur, base)
+    table = msm_mod.make_table(g1.encode_points(pts))
+    scal = [[rng.randrange(params.R) for _ in range(n)] for _ in range(k)]
+    raw = jnp.stack(
+        [jnp.asarray(ints_to_limbs(s, FR_RING.L)) for s in scal]
+    )
+    got = msm_mod.msm_batch_host(raw, table, c=6)
+    for p in range(k):
+        want = msm_pippenger_jac(scal[p], pts, c=8)
+        assert got[p] == want

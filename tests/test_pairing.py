@@ -2,6 +2,8 @@
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full-size device proofs/kernels; see pytest.ini tiers
+
 from aleo_tpu import params
 from aleo_tpu.reference import curve
 

@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # full-size device proofs/kernels; see pytest.ini tiers
+
 from aleo_tpu import params
 from aleo_tpu.curves import g1
 from aleo_tpu.fields.modring import FR_RING as F, ints_to_limbs

@@ -2,6 +2,8 @@
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full-size device proofs/kernels; see pytest.ini tiers
+
 from aleo_tpu import params
 from aleo_tpu.pcs.srs import Srs
 from aleo_tpu.snark.indexer import index_r1cs
