@@ -76,21 +76,33 @@ class Index:
         return out
 
 
-def variable_positions(n: int, ell: int, num_vars: int) -> np.ndarray:
-    """Input j -> j*(n/ell); witnesses fill the non-input positions in order."""
+def variable_positions(n: int, ell: int, num_inputs: int, num_vars: int) -> np.ndarray:
+    """Input j -> j*(n/ell); witnesses fill the non-input positions in order.
+
+    Only the first `num_inputs` variables are inputs; when num_inputs < ell
+    (ell is the input count rounded up to a power of two) the remaining
+    input-domain positions stay EMPTY — they must evaluate to the zero
+    padding of x_pub, or the q_x public-input binding breaks (the padded
+    slots are part of v_ell's vanishing set).
+    """
     stride = n // ell
     pos = np.zeros(num_vars, dtype=np.int64)
     input_positions = set(range(0, n, stride))
-    pos[:ell] = np.arange(ell) * stride
+    pos[:num_inputs] = np.arange(num_inputs) * stride
     rest = [p for p in range(n) if p not in input_positions]
-    k = num_vars - ell
-    pos[ell:] = rest[:k]
+    k = num_vars - num_inputs
+    assert k <= len(rest), "domain too small for witnesses + input padding"
+    pos[num_inputs:] = rest[:k]
     return pos
 
 
 def index_r1cs(cs: ConstraintSystem, srs: Srs | None = None, seed: bytes = b"aleo-tpu-srs") -> Index:
-    n = _next_pow2(max(cs.num_constraints, cs.num_variables, 2))
     ell = _next_pow2(cs.num_inputs)
+    # capacity: witnesses live outside the full ell-point input sub-domain,
+    # so the empty padded slots must not displace them past n.
+    n = _next_pow2(
+        max(cs.num_constraints, cs.num_variables + (ell - cs.num_inputs), 2)
+    )
     assert ell <= n
     coos = cs.matrices()
     m = _next_pow2(max(max(len(c) for c in coos), 2))
@@ -102,7 +114,7 @@ def index_r1cs(cs: ConstraintSystem, srs: Srs | None = None, seed: bytes = b"ale
         srs = Srs.load_or_generate(max(2 * n + 1, m) + 1, seed)
     assert srs.max_degree >= max(2 * n + 1, m)
 
-    var_pos = variable_positions(n, ell, cs.num_variables)
+    var_pos = variable_positions(n, ell, cs.num_inputs, cs.num_variables)
     dH = dntt.domain(n)
     omega_pows = dH.elements()          # host ints
     n_inv = pow(n, -1, R)

@@ -136,11 +136,16 @@ def synthesize_and_check(keys: FunctionKeys, registry: Registry, inputs,
     )
     cs = syn.cs
     idx = keys.index
-    if cs.num_inputs != keys.vk.ell and (1 << (cs.num_inputs - 1).bit_length()) != keys.vk.ell:
+    ell = 1 << max(0, (cs.num_inputs - 1).bit_length())
+    if ell != keys.vk.ell:
         raise ValueError(
             f"circuit shape drift: {cs.num_inputs} public inputs vs key ell={keys.vk.ell}"
         )
-    n = 1 << max(0, (max(cs.num_constraints, cs.num_variables, 2) - 1).bit_length())
+    n = 1 << max(
+        0,
+        (max(cs.num_constraints, cs.num_variables + (ell - cs.num_inputs), 2) - 1)
+        .bit_length(),
+    )
     if n != idx.n:
         raise ValueError(f"circuit shape drift: |H|={n} vs key n={idx.n}")
     return syn

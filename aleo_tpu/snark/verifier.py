@@ -41,8 +41,14 @@ class VerifyingKey:
         )
 
 
-def verify(vk: VerifyingKey, public_inputs: List[int], proof: Proof) -> bool:
+def verify(vk: VerifyingKey, public_inputs: List[int], proof: Proof,
+           debug: bool = False) -> bool:
     from ..pcs import kzg
+
+    def fail(check: str) -> bool:
+        if debug:
+            print(f"verify: FAILED check [{check}]", flush=True)
+        return False
 
     n, m, ell = vk.n, vk.m, vk.ell
     cm = proof.commitments
@@ -78,36 +84,36 @@ def verify(vk: VerifyingKey, public_inputs: List[int], proof: Proof) -> bool:
     # ---- AHP checks at beta -------------------------------------------------
     # rowcheck
     if (eb["z_a"] * eb["z_b"] - eb["z_c"] - eb["h0"] * vh_beta) % R != 0:
-        return False
+        return fail("rowcheck")
     # public input binding
     x_padded = list(public_inputs) + [0] * (ell - len(public_inputs))
     lag = rpoly.lagrange_coeffs_at(ell, beta)
     xhat_beta = sum(l * x for l, x in zip(lag, x_padded)) % R
     v_in_beta = (pow(beta, ell, R) - 1) % R
     if (eb["z"] - xhat_beta - eb["q_x"] * v_in_beta) % R != 0:
-        return False
+        return fail("public-input binding")
     # masked lincheck sumcheck:
     #   s(beta) + u_H(alpha,beta) s_eta(beta) - t(beta) z(beta)
     #     = h1(beta) v_H(beta) + beta g1(beta) + sigma_s / n
     if alpha == beta:
-        return False  # negligible probability; avoid division by zero
+        return fail("alpha == beta")
     r_ab = (vh_alpha - vh_beta) * pow((alpha - beta) % R, -1, R) % R
     s_beta = (eta_a * eb["z_a"] + eta_b * eb["z_b"] + eta_c * eb["z_c"]) % R
     lhs = (eb["s"] + r_ab * s_beta - eb["t"] * eb["z"]) % R
     rhs = (eb["h1"] * vh_beta + beta * eb["g1"] + proof.sigma_s * pow(n, -1, R)) % R
     if lhs != rhs:
-        return False
+        return fail("lincheck sumcheck")
     # t(beta) consistency with the K-side sums
     if (eta_a * sig_a + eta_b * sig_b + eta_c * sig_c - eb["t"]) % R != 0:
-        return False
+        return fail("t-sigma consistency")
 
     # ---- degree-bound checks (shifted commitments) -------------------------
     D = vk.srs.max_degree
     if eb["g1_shift"] != pow(beta, D - (n - 2), R) * eb["g1"] % R:
-        return False
+        return fail("g1 degree bound")
     for mn in "abc":
         if eg[f"g2_shift_{mn}"] != pow(gamma, D - (m - 2), R) * eg[f"g2_{mn}"] % R:
-            return False
+            return fail(f"g2_{mn} degree bound")
 
     # ---- AHP checks at gamma (per matrix) -----------------------------------
     vk_gamma = (pow(gamma, m, R) - 1) % R
@@ -123,13 +129,13 @@ def verify(vk: VerifyingKey, public_inputs: List[int], proof: Proof) -> bool:
         ) % R
         a_gamma = ab_scale * eg[f"cval_{mn}"] % R
         if (b_gamma * f_gamma - a_gamma - eg[f"h2_{mn}"] * vk_gamma) % R != 0:
-            return False
+            return fail(f"rational sumcheck {mn}")
 
     # ---- KZG batched openings ----------------------------------------------
     beta_cms = [cm[k] for k in BETA_POLYS]
     beta_ys = [eb[k] for k in BETA_POLYS]
     if not kzg.batch_verify(vk.srs, beta_cms, beta, beta_ys, xi1, proof.w_beta):
-        return False
+        return fail("beta opening")
     idx_cm = {}
     for i, mn in enumerate("abc"):
         for j, p in enumerate(("row", "col", "cval", "rcp")):
@@ -139,5 +145,5 @@ def verify(vk: VerifyingKey, public_inputs: List[int], proof: Proof) -> bool:
         gamma_cms.append(idx_cm[k] if k in idx_cm else cm[k])
     gamma_ys = [eg[k] for k in GAMMA_POLYS]
     if not kzg.batch_verify(vk.srs, gamma_cms, gamma, gamma_ys, xi2, proof.w_gamma):
-        return False
+        return fail("gamma opening")
     return True

@@ -161,16 +161,38 @@ def bench_proof(detail):
     detail["transfer_constraints"] = keys.constraint_counts["total"]
 
 
+class _SectionTimeout(Exception):
+    pass
+
+
+def _with_timeout(fn, seconds, *args):
+    """Run a bench section under SIGALRM so a pathological compile cannot
+    swallow the headline JSON (axon-tunnel Mosaic compiles have shown
+    minutes-scale variance)."""
+    import signal
+
+    def handler(signum, frame):
+        raise _SectionTimeout()
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+    try:
+        return fn(*args)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main():
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
     detail = {}
     msm_pps = bench_msm(detail)
     try:
-        bench_ntt(detail)
+        _with_timeout(bench_ntt, 600, detail)
     except Exception as e:  # secondary metrics must not kill the headline
         log(f"NTT bench failed: {e!r}")
     try:
-        bench_proof(detail)
+        _with_timeout(bench_proof, 2400, detail)
     except Exception as e:
         log(f"proof bench failed: {e!r}")
     log("BENCH_DETAIL " + json.dumps(detail))
