@@ -151,3 +151,21 @@ def test_server_rejects_missing_key(server):
 
 
 import urllib.error  # noqa: E402
+
+
+def test_development_client_roundtrip(server):
+    """DevelopmentClient (L6 twin) against the dev server over real HTTP."""
+    from aleo_tpu.sdk.development_client import (
+        DevelopmentClient,
+        DevelopmentClientError,
+    )
+
+    srv, alice, ledger = server
+    client = DevelopmentClient(f"http://127.0.0.1:{srv.port}")
+    bob = PrivateKey(seed=2077)
+    tx = client.transfer(
+        100_000, 0, bob.address().to_string(), "private", password="serverpw"
+    )
+    assert tx.startswith("at1")
+    with pytest.raises(DevelopmentClientError):
+        client.transfer(1, 0, "aleo1nonsense")  # no key material
