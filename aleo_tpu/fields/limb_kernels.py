@@ -123,6 +123,15 @@ def _zrows(x, r):
     return jnp.zeros((r,) + x.shape[1:], x.dtype)
 
 
+def _align(row, like):
+    """Broadcast a (K, T) constant row against a (K, ...) operand with extra
+    trailing dims (the batched 3D shapes of the 4-step NTT / vmapped
+    pipelines). No-op when ranks already match (the Pallas kernel case)."""
+    if row.ndim < like.ndim:
+        row = row.reshape(row.shape[:1] + (1,) * (like.ndim - 1))
+    return row
+
+
 def shift_rows(x, r, K):
     """Place x (Lx, T) at row offset r in a (K, T) zero background."""
     Lx = x.shape[0]
@@ -209,8 +218,8 @@ def mont_mul(c, a, b):
     L = a.shape[0]
     t_cols = conv_cols(a, b, 2 * L)  # < 2^22
     t_lo = ks_carry(t_cols[:L])  # digits of t mod R
-    m = ks_carry(conv_cols(t_lo, c["np"], L))  # (t*N') mod R digits
-    u_cols = conv_cols(m, c["p"], 2 * L) + t_cols  # < 2^23
+    m = ks_carry(conv_cols(t_lo, _align(c["np"], a), L))  # (t*N') mod R
+    u_cols = conv_cols(m, _align(c["p"], a), 2 * L) + t_cols  # < 2^23
     u = ks_carry(u_cols)
     return u[L:]
 
@@ -221,13 +230,13 @@ def mont_sq(c, a):
 
 def cond_sub_2p(c, v):
     """v < 4p -> v mod'2p' (subtract 2p once if v >= 2p)."""
-    d, carry = ks_carry(v + c["compR2p"], with_carry_out=True)
+    d, carry = ks_carry(v + _align(c["compR2p"], v), with_carry_out=True)
     return jnp.where(carry != 0, d, v)
 
 
 def cond_sub_p(c, v):
     """v < 2p -> canonical v mod p."""
-    d, carry = ks_carry(v + c["compRp"], with_carry_out=True)
+    d, carry = ks_carry(v + _align(c["compRp"], v), with_carry_out=True)
     return jnp.where(carry != 0, d, v)
 
 
@@ -238,12 +247,12 @@ def add(c, a, b):
 
 def sub(c, a, b):
     """a, b < 2p -> a-b mod'2p' (< 2p). Borrow-free complement form."""
-    return cond_sub_2p(c, ks_carry((a + c["comp2p"]) - b))
+    return cond_sub_2p(c, ks_carry((a + _align(c["comp2p"], a)) - b))
 
 
 def neg(c, a):
     """a < 2p -> 2p - a (< 2p; == -a mod p)."""
-    return ks_carry(c["comp2p"] - a)
+    return ks_carry(_align(c["comp2p"], a) - a)
 
 
 def mul3(c, a):

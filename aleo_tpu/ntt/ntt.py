@@ -107,6 +107,42 @@ def domain(n: int) -> Domain:
     return Domain(n)
 
 
+# threshold above which the single-chip transform switches to the 4-step
+# (transpose-based) decomposition; below it the flat butterfly network's
+# lane-axis gathers are cheap enough.
+FOUR_STEP_MIN = 1 << 13
+
+
+@functools.lru_cache(maxsize=32)
+def _four_step_tables(n: int, inverse: bool):
+    """Host tables for the Bailey 4-step split n = n1 * n2 (limbs-first).
+
+    Returns (n1, n2, wpow_small1, bitrev1, wpow_small2, bitrev2, tw_mid)
+    where tw_mid is the (L, n1, n2) Montgomery table of w_n^{+-k1*j2}.
+    """
+    logn = n.bit_length() - 1
+    n1 = 1 << (logn // 2)
+    n2 = n // n1
+    d = domain(n)
+    w = d.w_inv if inverse else d.w
+    rows = []
+    for k1 in range(n1):
+        wk = pow(w, k1, R)
+        acc = 1
+        row = []
+        for _ in range(n2):
+            row.append(acc)
+            acc = acc * wk % R
+        rows.extend(row)
+    tw_mid = (
+        F.to_mont_host(rows).reshape(n1, n2, F.L).transpose(2, 0, 1).copy()
+    )
+    d1, d2 = domain(n1), domain(n2)
+    wp1 = d1.wpow_inv_np if inverse else d1.wpow_np
+    wp2 = d2.wpow_inv_np if inverse else d2.wpow_np
+    return n1, n2, wp1, d1.bitrev_np, wp2, d2.bitrev_np, tw_mid
+
+
 def _transform_lf(x: jnp.ndarray, wpow: jnp.ndarray, bitrev) -> jnp.ndarray:
     """Core DIT butterfly network, limbs-first. x: (L, n), lazy < 2p in/out.
 
@@ -140,60 +176,116 @@ def _transform_lf(x: jnp.ndarray, wpow: jnp.ndarray, bitrev) -> jnp.ndarray:
     return x
 
 
-def _transform(x: jnp.ndarray, wpow: jnp.ndarray, bitrev) -> jnp.ndarray:
-    """Limbs-last (n, L) wrapper around the limbs-first core (canonical out)."""
-    return lf.normalize(_transform_lf(x.T, wpow, bitrev)).T
+def _small_ntt_axis1(x: jnp.ndarray, wpow, bitrev) -> jnp.ndarray:
+    """DIT butterflies along axis 1 of (L, n1, n2) — the 4-step inner NTT.
+
+    Slice-based stages (unrolled): each stage reshapes the transform axis
+    into (blocks, 2, half) and operates on contiguous lo/hi halves — no
+    partner gathers, no selects, and only n1/2 twiddle muls per stage
+    (t = w*hi; out = lo±t), which matters because the limb mul IS the NTT
+    bottleneck on TPU (measured 43 ms per 2^20-lane mul on v5e vs 3 ms of
+    everything else per stage). Bit-reversal is one middle-axis gather.
+    """
+    L, n1, n2 = x.shape
+    if n1 == 1:
+        return x
+    logn = n1.bit_length() - 1
+    wpow = jnp.asarray(wpow)
+    x = x[:, jnp.asarray(bitrev), :]
+    for s in range(logn):
+        half = 1 << s
+        nblk = n1 // (2 * half)
+        xr = x.reshape(L, nblk, 2, half, n2)
+        lo = xr[:, :, 0]
+        hi = xr[:, :, 1]
+        idx = jnp.asarray(
+            (np.arange(half) * (n1 >> (s + 1))).astype(np.int32)
+        )
+        tw = wpow[idx].T[:, None, :, None]      # (L, 1, half, 1)
+        t = lf.mul(tw, hi)
+        out = jnp.stack([lf.add(lo, t), lf.sub(lo, t)], axis=2)
+        x = out.reshape(L, n1, n2)
+    return x
 
 
-_transform_jit = jax.jit(_transform)
+def _transform_4step(x, wp1, br1, wp2, br2, tw_mid) -> jnp.ndarray:
+    """Bailey 4-step NTT on (L, n): column NTTs, mid twiddles, transpose,
+    row NTTs; output lands in natural order (k2-major flat = k1 + n1*k2)."""
+    L, n = x.shape
+    n1, n2 = br1.shape[0], br2.shape[0]
+    x = x.reshape(L, n1, n2)
+    x = _small_ntt_axis1(x, wp1, br1)           # over j1 -> k1
+    x = lf.mul(jnp.asarray(tw_mid), x)          # w_n^{k1 j2}
+    x = jnp.swapaxes(x, 1, 2)                   # (L, n2, n1): [j2, k1]
+    x = _small_ntt_axis1(x, wp2, br2)           # over j2 -> k2
+    return x.reshape(L, n)
+
+
+@functools.lru_cache(maxsize=32)
+def _four_step_dev(n: int, inverse: bool):
+    """Device copies of the 4-step tables (uploaded once per size/direction)."""
+    n1, n2, wp1, br1, wp2, br2, tw_mid = _four_step_tables(n, inverse)
+    return (
+        jnp.asarray(wp1), jnp.asarray(br1),
+        jnp.asarray(wp2), jnp.asarray(br2), jnp.asarray(tw_mid),
+    )
+
+
+_flat_core = jax.jit(_transform_lf)
+_4step_core = jax.jit(_transform_4step)
+
+
+def _run_lf(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    """(L, n) limbs-first transform, lazy in/out; flat or 4-step by size."""
+    n = x.shape[1]
+    d = domain(n)
+    if n < FOUR_STEP_MIN:
+        wpow = d.wpow_inv if inverse else d.wpow
+        return _flat_core(x, wpow, d.bitrev)
+    return _4step_core(x, *_four_step_dev(n, inverse))
 
 
 @jax.jit
-def _intt_core(x, wpow_inv, bitrev, n_inv_mont):
-    out = _transform_lf(x.T, wpow_inv, bitrev)
-    scaled = lf.mul(out, n_inv_mont[:, None])
-    return lf.normalize(scaled).T
+def _scale_norm(x, s):
+    return lf.normalize(lf.mul(x, s))
+
+
+@jax.jit
+def _scale_lazy(x, s):
+    return lf.mul(x, s)
+
+
+@jax.jit
+def _norm_j(x):
+    return lf.normalize(x)
+
+
+# -- public API: limbs-last (n, L) -------------------------------------------
 
 
 def ntt(x: jnp.ndarray) -> jnp.ndarray:
     """Forward NTT: coefficients -> evaluations over the size-n subgroup.
-    x: (n, L) Montgomery limbs, natural order in and out.
-
-    Domain tables are resolved OUTSIDE jit (they are cached host-side and
-    passed as device arguments, not baked into the graph)."""
-    d = domain(x.shape[0])
-    return _transform_jit(x, d.wpow, d.bitrev)
+    x: (n, L) Montgomery limbs, natural order in and out (canonical)."""
+    return _norm_j(_run_lf(x.T, False)).T
 
 
 def intt(x: jnp.ndarray) -> jnp.ndarray:
-    """Inverse NTT: evaluations -> coefficients."""
+    """Inverse NTT: evaluations -> coefficients (canonical)."""
     d = domain(x.shape[0])
-    return _intt_core(x, d.wpow_inv, d.bitrev, d.n_inv_mont)
+    return _scale_norm(_run_lf(x.T, True), d.n_inv_mont[:, None]).T
 
 
 # -- limbs-first API (prover pipeline; no boundary transposes) ---------------
 
 
-@jax.jit
-def _ntt_lf_core(x, wpow, bitrev):
-    return _transform_lf(x, wpow, bitrev)
-
-
-@jax.jit
-def _intt_lf_core(x, wpow_inv, bitrev, n_inv_mont):
-    out = _transform_lf(x, wpow_inv, bitrev)
-    return lf.mul(out, n_inv_mont[:, None])
-
-
 def ntt_lf(x: jnp.ndarray) -> jnp.ndarray:
     """Forward NTT on (L, n) limbs-first arrays; lazy in/out."""
-    d = domain(x.shape[1])
-    return _ntt_lf_core(x, d.wpow, d.bitrev)
+    return _run_lf(x, False)
 
 
 def intt_lf(x: jnp.ndarray) -> jnp.ndarray:
     d = domain(x.shape[1])
-    return _intt_lf_core(x, d.wpow_inv, d.bitrev, d.n_inv_mont)
+    return _scale_lazy(_run_lf(x, True), d.n_inv_mont[:, None])
 
 
 class Coset:
@@ -233,50 +325,32 @@ def coset(n: int, shift: int) -> Coset:
 
 
 @jax.jit
-def _coset_ntt_core(x, shift_pows, wpow, bitrev):
-    xs = lf.mul(x.T, shift_pows.T)
-    return lf.normalize(_transform_lf(xs, wpow, bitrev)).T
-
-
-@jax.jit
-def _coset_intt_core(x, wpow_inv, bitrev, n_inv_mont, shift_pows_inv):
-    out = _transform_lf(x.T, wpow_inv, bitrev)
-    scaled = lf.mul(lf.mul(out, n_inv_mont[:, None]), shift_pows_inv.T)
-    return lf.normalize(scaled).T
-
-
-@jax.jit
-def _coset_ntt_lf_core(x, shift_pows, wpow, bitrev):
-    return _transform_lf(lf.mul(x, shift_pows.T), wpow, bitrev)
-
-
-@jax.jit
-def _coset_intt_lf_core(x, wpow_inv, bitrev, n_inv_mont, shift_pows_inv):
-    out = _transform_lf(x, wpow_inv, bitrev)
-    return lf.mul(lf.mul(out, n_inv_mont[:, None]), shift_pows_inv.T)
+def _scale2_lazy(x, s1, s2):
+    return lf.mul(lf.mul(x, s1), s2)
 
 
 def coset_ntt(x: jnp.ndarray, shift: int) -> jnp.ndarray:
-    """Evaluate coefficients on the coset shift*H (scale fused into the jit)."""
+    """Evaluate coefficients on the coset shift*H. x: (n, L), canonical out."""
     c = coset(x.shape[0], shift)
-    d = domain(x.shape[0])
-    return _coset_ntt_core(x, c.shift_pows, d.wpow, d.bitrev)
+    return _norm_j(_run_lf(_scale_lazy(x.T, c.shift_pows.T), False)).T
 
 
 def coset_intt(x: jnp.ndarray, shift: int) -> jnp.ndarray:
     c = coset(x.shape[0], shift)
     d = domain(x.shape[0])
-    return _coset_intt_core(x, d.wpow_inv, d.bitrev, d.n_inv_mont, c.shift_pows_inv)
+    out = _run_lf(x.T, True)
+    return _norm_j(
+        _scale2_lazy(out, d.n_inv_mont[:, None], c.shift_pows_inv.T)
+    ).T
 
 
 def coset_ntt_lf(x: jnp.ndarray, shift: int) -> jnp.ndarray:
     """Limbs-first (L, n) coset NTT; lazy in/out."""
     c = coset(x.shape[1], shift)
-    d = domain(x.shape[1])
-    return _coset_ntt_lf_core(x, c.shift_pows, d.wpow, d.bitrev)
+    return _run_lf(_scale_lazy(x, c.shift_pows.T), False)
 
 
 def coset_intt_lf(x: jnp.ndarray, shift: int) -> jnp.ndarray:
     c = coset(x.shape[1], shift)
     d = domain(x.shape[1])
-    return _coset_intt_lf_core(x, d.wpow_inv, d.bitrev, d.n_inv_mont, c.shift_pows_inv)
+    return _scale2_lazy(_run_lf(x, True), d.n_inv_mont[:, None], c.shift_pows_inv.T)

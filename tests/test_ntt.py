@@ -44,3 +44,28 @@ def test_coset_ntt_matches_oracle():
     assert list(got) == poly.coset_ntt(a, shift)
     back = F.decode(dntt.coset_intt(dntt.coset_ntt(F.encode(a), shift), shift))
     assert list(back) == a
+
+
+def test_four_step_sizes_match_flat_semantics():
+    """Sizes >= FOUR_STEP_MIN route through the Bailey 4-step core; results
+    must match the host oracle exactly (natural order, incl. inverse+coset)."""
+    import random
+
+    from aleo_tpu.ntt.ntt import FOUR_STEP_MIN
+    from aleo_tpu.reference import polynomial as rpoly
+
+    n = FOUR_STEP_MIN
+    rng = random.Random(44)
+    a = [rng.randrange(R) for _ in range(n)]
+    enc = F.encode(a)
+    got = list(F.decode(dntt.ntt(enc)))
+    assert got == rpoly.ntt(a)
+    # inverse roundtrip
+    back = list(F.decode(dntt.intt(dntt.ntt(enc))))
+    assert back == a
+    # coset roundtrip
+    from aleo_tpu import params
+
+    cs = dntt.coset_ntt(enc, params.FR_GENERATOR)
+    back2 = list(F.decode(dntt.coset_intt(cs, params.FR_GENERATOR)))
+    assert back2 == a
