@@ -231,6 +231,13 @@ def _four_step_dev(n: int, inverse: bool):
     )
 
 
+def _transform(x: jnp.ndarray, wpow, bitrev) -> jnp.ndarray:
+    """Limbs-last (n, L) flat transform (canonical out). Used by the sharded
+    4-step path (parallel/mesh.py), which supplies its own per-shard tables
+    inside shard_map traces."""
+    return lf.normalize(_transform_lf(x.T, wpow, bitrev)).T
+
+
 _flat_core = jax.jit(_transform_lf)
 _4step_core = jax.jit(_transform_4step)
 
