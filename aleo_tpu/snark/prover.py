@@ -51,6 +51,7 @@ import random as _random
 from dataclasses import dataclass
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from .. import params
@@ -96,6 +97,36 @@ class Proof:
 def _fr(x: jnp.ndarray) -> int:
     """Decode a single (L, 1) limbs-first element to a host int."""
     return int(lf.decode(x)[0])
+
+
+def _eval_many(polys, z) -> list:
+    """Evaluate many (L, *) polynomials at one point in a single device
+    dispatch; one batched host readback. Returns host ints in order."""
+    max_len = max(p.shape[1] for p in polys)
+    stack = jnp.stack([pl.pad_to(p, max_len) for p in polys], axis=1)
+    ys = _eval_stack(stack, z)                  # (L, k)
+    return [int(v) for v in lf.decode(ys)]
+
+
+@jax.jit
+def _eval_stack(stack, z):
+    # stack: (L, k, n); powers shared across the k polynomials
+    pw = lf.powers(z, stack.shape[2])
+    prods = lf.mul(stack, pw[:, None, :])
+    k = stack.shape[1]
+    acc = prods
+    nlanes = stack.shape[2]
+    logn = max(1, (nlanes - 1).bit_length())
+    iota = jnp.arange(nlanes, dtype=jnp.int32)
+
+    def body(d, v):
+        o = jnp.int32(1) << d
+        vs = jnp.roll(v, o, axis=2)
+        s = lf.add(v.reshape(lf.L, -1), vs.reshape(lf.L, -1)).reshape(v.shape)
+        return jnp.where((iota >= o)[None, None, :], s, v)
+
+    out = jax.lax.fori_loop(0, logn, body, acc)
+    return out[:, :, -1]
 
 
 def _mask_vh(poly: jnp.ndarray, n: int, a: int, b: int) -> jnp.ndarray:
@@ -316,8 +347,27 @@ def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
 
     beta_e = lf.const(beta)
     gamma_e = lf.const(gamma)
-    evals_beta = {k: _fr(pl.eval_coeffs(p, beta_e)) for k, p in beta_polys.items()}
-    evals_gamma = {k: _fr(pl.eval_coeffs(p, gamma_e)) for k, p in gamma_polys.items()}
+    # Shifted-poly evaluations are definitionally point^(D-d) * eval (their
+    # soundness comes from the opening proof, not the prover's arithmetic),
+    # so they are computed on host — evaluating the degree-D dense shifts on
+    # device would be the single largest eval. The rest are batched into ONE
+    # device dispatch + ONE host readback per query point (a ~30x dispatch
+    # reduction; each readback costs a full tunnel round trip).
+    eval_beta_names = [k for k in BETA_POLYS if not k.endswith("_shift")]
+    eval_gamma_names = [k for k in GAMMA_POLYS if "shift" not in k]
+    evals_beta = dict(zip(
+        eval_beta_names,
+        _eval_many([beta_polys[k] for k in eval_beta_names], beta_e),
+    ))
+    evals_gamma = dict(zip(
+        eval_gamma_names,
+        _eval_many([gamma_polys[k] for k in eval_gamma_names], gamma_e),
+    ))
+    evals_beta["g1_shift"] = pow(beta, D - (n - 2), R) * evals_beta["g1"] % R
+    for mn in "abc":
+        evals_gamma[f"g2_shift_{mn}"] = (
+            pow(gamma, D - (m - 2), R) * evals_gamma[f"g2_{mn}"] % R
+        )
 
     tr.absorb_fr(*[evals_beta[k] for k in BETA_POLYS])
     tr.absorb_fr(*[evals_gamma[k] for k in GAMMA_POLYS])
