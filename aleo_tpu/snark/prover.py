@@ -129,6 +129,76 @@ def _eval_stack(stack, z):
     return out[:, :, -1]
 
 
+
+# Jitted elementwise round blocks: outside jit every lf op dispatches its
+# hundreds of limb primitives one by one (pure eager overhead — measured as
+# the dominant untracked cost of a TPU proof through the device tunnel).
+
+
+@jax.jit
+def _h0_block(za_c, zb_c, zc_c, vh_inv):
+    return lf.mul(lf.sub(lf.mul(za_c, zb_c), zc_c), vh_inv)
+
+
+@jax.jit
+def _qx_block(z_c, xhat_c, vin_inv):
+    return lf.mul(lf.sub(z_c, xhat_c), vin_inv)
+
+
+@jax.jit
+def _u_alpha_block(alpha_b, wpow_lf, vh_alpha_b):
+    denom = lf.sub(alpha_b, wpow_lf)
+    return lf.mul(lf.batch_inv(denom), vh_alpha_b)
+
+
+@jax.jit
+def _weighted_sum3(xs, ws):
+    """sum_i ws[i] * xs[i] for 3 stacked (L, n) arrays; ws (3, L, 1)."""
+    acc = lf.mul(xs[0], jnp.broadcast_to(ws[0], xs[0].shape))
+    acc = lf.add(acc, lf.mul(xs[1], jnp.broadcast_to(ws[1], xs[1].shape)))
+    return lf.add(acc, lf.mul(xs[2], jnp.broadcast_to(ws[2], xs[2].shape)))
+
+
+@jax.jit
+def _q1_block(smask_c, r_c, s_c, t_c, zf_c):
+    return lf.add(smask_c, lf.sub(lf.mul(r_c, s_c), lf.mul(t_c, zf_c)))
+
+
+@jax.jit
+def _f_sigma_block(col_e, row_e, rcp_e, cval_e, alpha_b, beta_b, alpha_beta_b,
+                   ab_scale_b):
+    b_e = lf.add(
+        lf.sub(
+            alpha_beta_b,
+            lf.add(lf.mul(col_e, alpha_b), lf.mul(row_e, beta_b)),
+        ),
+        rcp_e,
+    )
+    a_e = lf.mul(cval_e, ab_scale_b)
+    f_e = lf.mul(a_e, lf.batch_inv(b_e))
+    sigma = lf.tree_sum(f_e)
+    return f_e, sigma
+
+
+@jax.jit
+def _h2_block(row_c, col_c, rcp_c, cval_c, f_c, alpha_b, beta_b,
+              alpha_beta_b, ab_scale_b, vk_inv):
+    b_c = lf.add(
+        lf.sub(
+            alpha_beta_b,
+            lf.add(lf.mul(col_c, alpha_b), lf.mul(row_c, beta_b)),
+        ),
+        rcp_c,
+    )
+    a_c = lf.mul(cval_c, ab_scale_b)
+    num = lf.sub(lf.mul(b_c, f_c), a_c)
+    return lf.mul(num, vk_inv)
+
+
+def _bconst(x: int, shape) -> jnp.ndarray:
+    return jnp.broadcast_to(lf.const(x), shape)
+
+
 def _mask_vh(poly: jnp.ndarray, n: int, a: int, b: int) -> jnp.ndarray:
     """poly + v_H(X) * (a + b X) = poly - (a + b X) + a X^n + b X^(n+1).
 
@@ -148,7 +218,6 @@ def _mask_vh(poly: jnp.ndarray, n: int, a: int, b: int) -> jnp.ndarray:
 def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
     n, m, ell = index.n, index.m, index.ell
     srs = index.srs
-    mul, add, sub = lf.mul, lf.add, lf.sub
     if rng is None:
         rng = _random.SystemRandom()
 
@@ -186,7 +255,7 @@ def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
     zb_c = dntt.coset_ntt_lf(pl.pad_to(zm_polys["B"], 4 * n), SHIFT)
     zc_c = dntt.coset_ntt_lf(pl.pad_to(zm_polys["C"], 4 * n), SHIFT)
     vh_inv = pl._coset_vh_inv(4 * n, n, SHIFT)
-    h0_evals = mul(sub(mul(za_c, zb_c), zc_c), vh_inv)
+    h0_evals = _h0_block(za_c, zb_c, zc_c, vh_inv)
     h0_poly = dntt.coset_intt_lf(h0_evals, SHIFT)[:, : n + 3]
 
     # ---- public input quotient q_x -----------------------------------------
@@ -196,7 +265,7 @@ def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
     z_c = dntt.coset_ntt_lf(pl.pad_to(z_poly, 2 * n), SHIFT)
     xhat_c = dntt.coset_ntt_lf(pl.pad_to(xhat_poly, 2 * n), SHIFT)
     vin_inv = pl._coset_vh_inv(2 * n, ell, SHIFT)
-    qx_evals = mul(sub(z_c, xhat_c), vin_inv)
+    qx_evals = _qx_block(z_c, xhat_c, vin_inv)
     qx_poly = dntt.coset_intt_lf(qx_evals, SHIFT)[:, : n + 2 - ell]
 
     commitments: Dict[str, object] = {}
@@ -224,23 +293,25 @@ def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
     vh_alpha = (pow(alpha, n, R) - 1) % R
     alpha_e = lf.const(alpha)
     # u_H(alpha, h) = v_H(alpha) / (alpha - h) for h in H
-    denom = sub(jnp.broadcast_to(alpha_e, (lf.L, n)), jnp.asarray(dH.wpow_np).T)
-    u_alpha = mul(lf.batch_inv(denom), lf.const(vh_alpha))
+    u_alpha = _u_alpha_block(
+        jnp.broadcast_to(alpha_e, (lf.L, n)),
+        jnp.asarray(dH.wpow_np).T,
+        _bconst(vh_alpha, (lf.L, n)),
+    )
     # t over H: sum_M eta_M * (M^T u_alpha)
-    t_vec = None
-    for mi in index.matrices:
-        contrib = mul(spmv_lf(mi.by_col, u_alpha), lf.const(etas[mi.name]))
-        t_vec = contrib if t_vec is None else add(t_vec, contrib)
+    spmvs = jnp.stack([spmv_lf(mi.by_col, u_alpha) for mi in index.matrices])
+    eta_ws = jnp.stack([lf.const(etas[mi.name]) for mi in index.matrices])
+    t_vec = _weighted_sum3(spmvs, eta_ws)
     t_poly = dntt.intt_lf(t_vec)
 
     # r_alpha(X) = sum_i alpha^{n-1-i} X^i  (degree n-1)
     r_alpha_poly = lf.powers(alpha_e, n)[:, ::-1]
 
     # s(X) = sum_M eta_M z_M(X)
-    s_poly = None
-    for mname in ("A", "B", "C"):
-        term = mul(zm_polys[mname], lf.const(etas[mname]))
-        s_poly = term if s_poly is None else add(s_poly, term)
+    s_poly = _weighted_sum3(
+        jnp.stack([zm_polys[k] for k in ("A", "B", "C")]),
+        jnp.stack([lf.const(etas[k]) for k in ("A", "B", "C")]),
+    )
 
     # masked degrees: r(n-1) * s_eta(n+1) and t(n-1) * z(n+1) are 2n, the
     # mask s is 2n+1 -> evaluate q1 on a 4n coset.
@@ -249,7 +320,7 @@ def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
     t_c = dntt.coset_ntt_lf(pl.pad_to(t_poly, 4 * n), SHIFT)
     zf_c = dntt.coset_ntt_lf(pl.pad_to(z_poly, 4 * n), SHIFT)
     smask_c = dntt.coset_ntt_lf(pl.pad_to(s_mask_poly, 4 * n), SHIFT)
-    q1_evals = add(smask_c, sub(mul(r_c, s_c), mul(t_c, zf_c)))
+    q1_evals = _q1_block(smask_c, r_c, s_c, t_c, zf_c)
     q1_poly = dntt.coset_intt_lf(q1_evals, SHIFT)[:, : 2 * n + 2]
     h1_poly, rem = pl.divide_by_vanishing(q1_poly, n)
     g1_poly = rem[:, 1:]  # rem = sigma_s/n + X g1 (by the masked sum identity)
@@ -269,27 +340,24 @@ def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
 
     # ---- round 3: rational sumchecks over K --------------------------------
     vh_beta = (pow(beta, n, R) - 1) % R
-    ab_scale = lf.const(vh_alpha * vh_beta % R)
-    alpha_beta = lf.const(alpha * beta % R)
     sigmas = {}
     g2_polys, h2_polys = {}, {}
     vk_inv_4m = pl._coset_vh_inv(4 * m, m, SHIFT)
+    alpha_m = _bconst(alpha, (lf.L, m))
+    beta_m = _bconst(beta, (lf.L, m))
+    ab_m = _bconst(alpha * beta % R, (lf.L, m))
+    abs_m = _bconst(vh_alpha * vh_beta % R, (lf.L, m))
+    alpha_4m = _bconst(alpha, (lf.L, 4 * m))
+    beta_4m = _bconst(beta, (lf.L, 4 * m))
+    ab_4m = _bconst(alpha * beta % R, (lf.L, 4 * m))
+    abs_4m = _bconst(vh_alpha * vh_beta % R, (lf.L, 4 * m))
     for mi in index.matrices:
         mn = mi.name.lower()
-        col_e, row_e = mi.col_evals.T, mi.row_evals.T
-        b_e = add(
-            sub(
-                jnp.broadcast_to(alpha_beta, (lf.L, m)),
-                add(
-                    mul(col_e, lf.const(alpha)),
-                    mul(row_e, lf.const(beta)),
-                ),
-            ),
-            mi.rcp_evals.T,
+        f_e, sigma_dev = _f_sigma_block(
+            mi.col_evals.T, mi.row_evals.T, mi.rcp_evals.T, mi.cval_evals.T,
+            alpha_m, beta_m, ab_m, abs_m,
         )
-        a_e = mul(mi.cval_evals.T, ab_scale)
-        f_e = mul(a_e, lf.batch_inv(b_e))
-        sigma = _fr(lf.tree_sum(f_e))
+        sigma = _fr(sigma_dev)
         sigmas[mi.name] = sigma
         f_poly = dntt.intt_lf(f_e)
         g2_polys[mn] = f_poly[:, 1:]
@@ -299,16 +367,10 @@ def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
         rcp_c = dntt.coset_ntt_lf(pl.pad_to(ipolys[f"rcp_{mn}"], 4 * m), SHIFT)
         cval_c = dntt.coset_ntt_lf(pl.pad_to(ipolys[f"cval_{mn}"], 4 * m), SHIFT)
         f_c = dntt.coset_ntt_lf(pl.pad_to(f_poly, 4 * m), SHIFT)
-        b_c = add(
-            sub(
-                jnp.broadcast_to(alpha_beta, (lf.L, 4 * m)),
-                add(mul(col_c, lf.const(alpha)), mul(row_c, lf.const(beta))),
-            ),
-            rcp_c,
+        h2_evals = _h2_block(
+            row_c, col_c, rcp_c, cval_c, f_c,
+            alpha_4m, beta_4m, ab_4m, abs_4m, vk_inv_4m,
         )
-        a_c = mul(cval_c, ab_scale)
-        num = sub(mul(b_c, f_c), a_c)
-        h2_evals = mul(num, vk_inv_4m)
         # deg(b*f) = 2m-2, so h2 = (b f - a)/v_K has degree m-2 when the
         # division is exact; trim so commitments stay within a size-m SRS.
         h2_polys[mn] = dntt.coset_intt_lf(h2_evals, SHIFT)[:, : m - 1]
