@@ -226,8 +226,11 @@ def encrypt_fields(addr: Address, plaintext: list, esk: int | None = None):
     return (eph, ct)
 
 
-def decrypt_fields(view: ViewKey, eph: tuple, ciphertext: list):
-    shared = edwards.mul(view.scalar, eph)
+def decrypt_fields(view: ViewKey, eph: tuple, ciphertext: list, shared=None):
+    """shared: optional precomputed ECDH point (the device batch-scan path,
+    curves/edwards_device.shared_secrets)."""
+    if shared is None:
+        shared = edwards.mul(view.scalar, eph)
     sponge = poseidon.PoseidonSponge(2, domain="aleo-tpu/record-encrypt")
     sponge.absorb([shared[0], shared[1]])
     keys = sponge.squeeze(len(ciphertext))

@@ -24,6 +24,18 @@ from .ledger import Block, Ledger, LedgerError
 from .transactions import RecordCiphertext, Transaction
 
 MAX_BLOCK_RANGE = 50  # reference: get_blocks caps at 50 per request
+BATCH_ECDH_MIN = 64   # device batch threshold for the view-key scan
+
+
+def _batch_shared(view_key: acct.ViewKey, cts):
+    """Precompute ECDH shared points for a ciphertext batch on device
+    (curves/edwards_device); falls back to per-record host ECDH below the
+    threshold (the device ladder amortizes over large scans)."""
+    if len(cts) < BATCH_ECDH_MIN:
+        return [None] * len(cts)
+    from ..curves.edwards_device import shared_secrets
+
+    return shared_secrets(view_key.scalar, [ct.eph for ct in cts])
 
 
 class ApiError(Exception):
@@ -138,9 +150,11 @@ class LocalAPIClient:
         """All record ciphertexts owned by the view key in a height range."""
         if end_height > self.latest_height() + 1:
             end_height = self.latest_height() + 1
+        cts = self.ledger.records_in_range(start_height, end_height)
+        shared = _batch_shared(view_key, cts)
         out = []
-        for ct in self.ledger.records_in_range(start_height, end_height):
-            if ct.is_owner(view_key):
+        for ct, sh in zip(cts, shared):
+            if ct.is_owner(view_key, sh):
                 out.append(ct)
                 if max_records and len(out) >= max_records:
                     break
@@ -167,12 +181,16 @@ class LocalAPIClient:
         hi = end
         while hi > start_height:
             lo = max(start_height, hi - step)
-            for ct in self.ledger.records_in_range(lo, hi):
-                if ct.program != "credits.aleo" or ct.type_ != "credits":
+            cts = [
+                ct
+                for ct in self.ledger.records_in_range(lo, hi)
+                if ct.program == "credits.aleo" and ct.type_ == "credits"
+            ]
+            shared_pts = _batch_shared(view_key, cts)
+            for ct, sh in zip(cts, shared_pts):
+                if not ct.is_owner(view_key, sh):
                     continue
-                if not ct.is_owner(view_key):
-                    continue
-                rec = ct.decrypt(view_key, self.ledger.registry)
+                rec = ct.decrypt(view_key, self.ledger.registry, sh)
                 serial = rec.serial_number(sk)
                 if self.find_transition_id(serial) is not None:
                     continue  # spent

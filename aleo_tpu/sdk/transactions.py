@@ -179,17 +179,18 @@ class RecordCiphertext:
         eph, ct = acct.encrypt_fields(addr, fields)
         return RecordCiphertext(rec.program, rec.type_, eph, ct, rec.commitment())
 
-    def is_owner(self, view_key: acct.ViewKey) -> bool:
+    def is_owner(self, view_key: acct.ViewKey, shared=None) -> bool:
         """Ownership probe: decrypt only the first field and compare to the
         view key's address x-coordinate (the reference's
-        `is_owner_with_address_x_coordinate`, blocking.rs:275)."""
-        owner = acct.decrypt_fields(view_key, self.eph, self.ct[:1])[0]
+        `is_owner_with_address_x_coordinate`, blocking.rs:275). `shared`
+        takes the precomputed ECDH point from the device batch scan."""
+        owner = acct.decrypt_fields(view_key, self.eph, self.ct[:1], shared)[0]
         return owner == view_key.address().x % R
 
-    def decrypt(self, view_key: acct.ViewKey, registry) -> Record:
+    def decrypt(self, view_key: acct.ViewKey, registry, shared=None) -> Record:
         """Full decrypt; needs the record schema from the program registry.
         Entry values must be literals (struct entries unsupported)."""
-        fields = acct.decrypt_fields(view_key, self.eph, self.ct)
+        fields = acct.decrypt_fields(view_key, self.eph, self.ct, shared)
         prog = registry.get(self.program)
         rtype = prog.records[self.type_]
         owner, gates = fields[0], fields[1]

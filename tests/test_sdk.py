@@ -267,3 +267,33 @@ def test_execute_with_proof_and_verifying_ledger():
     )
     tx = client.get_transaction(tx_id)
     assert tx.transitions()[0].proof is not None
+
+
+def test_device_batch_ecdh_matches_host():
+    """curves/edwards_device ECDH ladder vs the host oracle (VERDICT row 3:
+    device kernels for the bulk record scan)."""
+    import random
+
+    from aleo_tpu.curves.edwards_device import shared_secrets
+    from aleo_tpu.reference import edwards
+
+    rng = random.Random(9)
+    G = edwards.generator()
+    pts = [edwards.mul(rng.randrange(2, 10_000), G) for _ in range(5)]
+    view = rng.randrange(2, 10**30)
+    got = shared_secrets(view, pts)
+    want = [edwards.mul(view, p) for p in pts]
+    assert got == want
+
+
+def test_scan_uses_batch_path(chain, monkeypatch):
+    """Large scans route through the device batch ECDH and agree with the
+    per-record host path."""
+    from aleo_tpu.sdk import api_client as ac
+
+    ledger, client, alice, bob = chain
+    monkeypatch.setattr(ac, "BATCH_ECDH_MIN", 1)
+    recs_batch = client.get_unspent_records(alice)
+    monkeypatch.setattr(ac, "BATCH_ECDH_MIN", 10_000)
+    recs_host = client.get_unspent_records(alice)
+    assert sorted(c for c, _ in recs_batch) == sorted(c for c, _ in recs_host)
