@@ -76,6 +76,13 @@ class LocalAPIClient:
     def get_state_root(self) -> str:
         return self.ledger.state_root()
 
+    def get_state_path(self, commitment: int):
+        """Inclusion proof for a record commitment (Trace::prepare's query)."""
+        try:
+            return self.ledger.get_state_path(commitment)
+        except LedgerError as e:
+            raise ApiError(str(e)) from e
+
     # -- transactions (blocking.rs:76-91, 328-356) ---------------------------
 
     def get_transaction(self, tx_id: str) -> Transaction:

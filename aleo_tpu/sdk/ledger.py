@@ -23,6 +23,7 @@ from ..program.values import Record, Value
 from ..reference import poseidon
 from . import account as acct
 from .credits import CREDITS_PROGRAM
+from .merkle import MerkleTree, verify_path
 from .transactions import RecordCiphertext, Transaction, TransitionData
 
 R = params.R
@@ -65,6 +66,10 @@ class Ledger:
         self.transition_index: Dict[str, str] = {}  # transition id -> tx id
         self.mempool: List[Transaction] = []
         self.function_vks: Dict[str, object] = {}   # "prog/fn" -> VerifyingKey
+        # commitment state tree (the Trace::prepare state-path backend)
+        self.commitment_tree = MerkleTree()
+        self.commitment_index: Dict[int, int] = {}  # commitment -> leaf idx
+        self.known_roots = {self.commitment_tree.root()}
         genesis = Block(0, "ab1" + "0" * 64, [])
         genesis.hash = genesis.compute_hash()
         self.blocks.append(genesis)
@@ -85,7 +90,16 @@ class Ledger:
         return self.blocks[height]
 
     def state_root(self) -> str:
-        return "sr1" + hashlib.sha256(self.latest_hash.encode()).hexdigest()
+        payload = f"{self.latest_hash}/{self.commitment_tree.root()}"
+        return "sr1" + hashlib.sha256(payload.encode()).hexdigest()
+
+    def get_state_path(self, commitment: int):
+        """(tree_root, merkle path) for a record commitment — the node's
+        state-path endpoint behind `Trace::prepare(Query)` (SURVEY §3.1)."""
+        idx = self.commitment_index.get(commitment)
+        if idx is None:
+            raise LedgerError(f"commitment {commitment} not on chain")
+        return self.commitment_tree.root(), self.commitment_tree.prove(idx)
 
     def get_program(self, program_id: str) -> str:
         if program_id not in self.program_sources:
@@ -167,6 +181,14 @@ class Ledger:
                 self._verify_transition_proof(t)
             elif self.verify_proofs and t.proof is None:
                 raise LedgerError("proof required")
+            # inclusion proofs for consumed records (Trace::prepare twin):
+            # each (commitment, root, path) must verify against a historical
+            # state-tree root
+            for (cm, root, path) in (t.inclusion_proofs or []):
+                if root not in self.known_roots:
+                    raise LedgerError("inclusion proof against unknown root")
+                if not verify_path(root, cm, path):
+                    raise LedgerError(f"invalid inclusion proof for {cm}")
 
     def _verify_transition_proof(self, t: TransitionData):
         from ..snark.serialize import proof_from_bytes
@@ -201,6 +223,9 @@ class Ledger:
             for ct in t.output_ciphertexts:
                 self.record_ciphertexts[ct.commitment] = ct
                 self.commitment_height[ct.commitment] = height
+                self.commitment_index[ct.commitment] = self.commitment_tree.append(
+                    ct.commitment
+                )
             self.transition_index[t.id] = tx.id
         self.transactions[tx.id] = tx
 
@@ -208,6 +233,7 @@ class Ledger:
         blk = Block(self.latest_height + 1, self.latest_hash, txs)
         blk.hash = blk.compute_hash()
         self.blocks.append(blk)
+        self.known_roots.add(self.commitment_tree.root())
 
     # -- record scanning (RecordFinder backend) ------------------------------
 

@@ -178,6 +178,18 @@ class ProgramManager:
                     v.commitment() if isinstance(v, Record) else _plain_output_id(v)
                 )
             proof_bytes = None
+        # inclusion-proof preparation for consumed records — the
+        # `Trace::prepare(Query)` stage (SURVEY.md §3.1): fetch state paths
+        # from the node so the ledger can check the spent records existed.
+        inclusion = []
+        if hasattr(self.api_client, "get_state_path"):
+            for r in tr.consumed_records:
+                cm = r.commitment()
+                try:
+                    root, path = self.api_client.get_state_path(cm)
+                    inclusion.append((cm, root, path))
+                except Exception:
+                    pass  # e.g. burner/offline records; ledger enforces policy
         td = TransitionData(
             id=TransitionData.fresh_id(),
             program_id=program_id,
@@ -188,6 +200,7 @@ class ProgramManager:
             output_ciphertexts=[RecordCiphertext.encrypt(r) for r in tr.created_records],
             finalize_args=tr.finalize_args,
             proof=proof_bytes,
+            inclusion_proofs=inclusion or None,
         )
         return td, tr, num_constraints
 

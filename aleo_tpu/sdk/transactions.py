@@ -71,6 +71,8 @@ class TransitionData:
     output_ciphertexts: List[tuple]   # (eph point, [fields]) per new record
     finalize_args: Optional[List]     # host Values for the finalize block
     proof: Optional[bytes]            # serialized SNARK proof (None = dev mode)
+    inclusion_proofs: Optional[List] = None  # [(commitment, root, merkle path)]
+                                      # for consumed records (Trace::prepare)
 
     @staticmethod
     def fresh_id() -> str:

@@ -297,3 +297,32 @@ def test_scan_uses_batch_path(chain, monkeypatch):
     monkeypatch.setattr(ac, "BATCH_ECDH_MIN", 10_000)
     recs_host = client.get_unspent_records(alice)
     assert sorted(c for c, _ in recs_batch) == sorted(c for c, _ in recs_host)
+
+
+def test_state_paths_and_inclusion_proofs(chain):
+    """Merkle state paths (Trace::prepare twin, VERDICT row 19)."""
+    from aleo_tpu.sdk.merkle import verify_path
+
+    ledger, client, alice, bob = chain
+    cm = next(iter(ledger.commitment_index))
+    root, path = client.get_state_path(cm)
+    assert verify_path(root, cm, path)
+    assert not verify_path(root, (cm + 1), path)
+    with pytest.raises(ApiError):
+        client.get_state_path(123456789)
+    # a transfer's transition carries verifying inclusion proofs
+    pm = ProgramManager(client, private_key=alice)
+    tx_id = pm.transfer(500_000, 0, bob.address().to_string(), TransferType.Private)
+    tx = client.get_transaction(tx_id)
+    t = tx.execution.transitions[0]
+    assert t.inclusion_proofs, "consumed record must carry a state path"
+    for (c, r, p) in t.inclusion_proofs:
+        assert r in ledger.known_roots and verify_path(r, c, p)
+    # forged path is rejected by the ledger
+    from aleo_tpu.sdk.transactions import Transaction as Tx
+
+    bad = client.get_transaction(tx_id)
+    t.inclusion_proofs[0] = (t.inclusion_proofs[0][0] + 1, r, p)
+    tx.id = Tx.fresh_id("execute")
+    with pytest.raises(ApiError):
+        client.transaction_broadcast(tx)
