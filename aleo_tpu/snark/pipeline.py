@@ -21,6 +21,10 @@ asserts this by proving with keys synthesized from different inputs.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import pickle
+
 from dataclasses import dataclass
 from typing import Dict, List, Optional
 
@@ -97,24 +101,131 @@ class ExecutionProof:
     transition: Transition
 
 
+_KEY_CACHE_DIR = os.path.expanduser("~/.aleo_tpu/keys")
+
+
 def synthesize_keys(
     registry: Registry,
     program_id: str,
     function: str,
     srs=None,
     inputs: Optional[List] = None,
+    cache: bool = True,
 ) -> FunctionKeys:
-    """Deploy-time key synthesis for one function (`Process::synthesize_key`)."""
+    """Deploy-time key synthesis for one function (`Process::synthesize_key`).
+
+    Results are cached on disk per (program source, function) — the role of
+    the reference's proving-key files and wasm key cache
+    (`/root/reference/wasm/src/programs/manager/mod.rs:97-131`,
+    `website/src/workers/keys.js`). Pass cache=False for a fresh synthesis.
+    """
     prog = registry.get(program_id)
+    cache_path = None
+    if cache and srs is None:
+        digest = hashlib.sha256(
+            (prog.source + "\x00" + function).encode()
+        ).hexdigest()[:20]
+        cache_path = os.path.join(_KEY_CACHE_DIR, f"{prog.name}_{function}_{digest}.pkl")
+        if os.path.exists(cache_path):
+            try:
+                return _load_keys(cache_path)
+            except Exception:
+                pass  # stale/corrupt cache: resynthesize
     if inputs is None:
         inputs = burner_inputs(prog, function)
     syn = synthesize_execution(
         registry, program_id, function, inputs, caller=1, rng_nonce=lambda: 1
     )
     index = index_r1cs(syn.cs, srs=srs)
-    return FunctionKeys(
+    keys = FunctionKeys(
         program_id, function, index, VerifyingKey.from_index(index),
         syn.constraint_counts,
+    )
+    if cache_path is not None:
+        try:
+            _save_keys(keys, cache_path)
+        except Exception:
+            pass
+    return keys
+
+
+def _save_keys(keys: FunctionKeys, path: str) -> None:
+    import numpy as np
+
+    from ..snark.indexer import MatrixIndex
+    from ..snark.sparse import SparseTables
+
+    os.makedirs(_KEY_CACHE_DIR, exist_ok=True)
+    idx = keys.index
+
+    def tab(t):
+        return {
+            "vals": np.asarray(t.vals), "gather_idx": np.asarray(t.gather_idx),
+            "flags": np.asarray(t.flags), "ends": np.asarray(t.ends),
+            "out_idx": np.asarray(t.out_idx), "out_size": t.out_size,
+        }
+
+    blob = {
+        "program_id": keys.program_id, "function": keys.function,
+        "counts": keys.constraint_counts,
+        "n": idx.n, "m": idx.m, "ell": idx.ell, "num_inputs": idx.num_inputs,
+        "var_pos": np.asarray(idx.var_pos),
+        "srs_max_degree": idx.srs.max_degree,
+        "matrices": [
+            {
+                "name": mi.name,
+                **{
+                    f"{p}_poly": np.asarray(getattr(mi, f"{p}_poly"))
+                    for p in ("row", "col", "cval", "rcp")
+                },
+                **{
+                    f"{p}_evals": np.asarray(getattr(mi, f"{p}_evals"))
+                    for p in ("row", "col", "cval", "rcp")
+                },
+                "commitments": mi.commitments,
+                "by_row": tab(mi.by_row), "by_col": tab(mi.by_col),
+            }
+            for mi in idx.matrices
+        ],
+    }
+    with open(path, "wb") as f:
+        pickle.dump(blob, f)
+
+
+def _load_keys(path: str) -> FunctionKeys:
+    import jax.numpy as jnp
+
+    from ..pcs.srs import Srs
+    from ..snark.indexer import MatrixIndex
+    from ..snark.sparse import SparseTables
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    srs = Srs.load_or_generate(blob["srs_max_degree"])
+
+    def tab(d):
+        return SparseTables(
+            vals=jnp.asarray(d["vals"]), gather_idx=jnp.asarray(d["gather_idx"]),
+            flags=jnp.asarray(d["flags"]), ends=jnp.asarray(d["ends"]),
+            out_idx=jnp.asarray(d["out_idx"]), out_size=d["out_size"],
+        )
+
+    matrices = [
+        MatrixIndex(
+            md["name"],
+            *[jnp.asarray(md[f"{p}_poly"]) for p in ("row", "col", "cval", "rcp")],
+            *[jnp.asarray(md[f"{p}_evals"]) for p in ("row", "col", "cval", "rcp")],
+            md["commitments"], tab(md["by_row"]), tab(md["by_col"]),
+        )
+        for md in blob["matrices"]
+    ]
+    index = Index(
+        srs, blob["n"], blob["m"], blob["ell"], blob["num_inputs"],
+        blob["var_pos"], matrices,
+    )
+    return FunctionKeys(
+        blob["program_id"], blob["function"], index,
+        VerifyingKey.from_index(index), blob["counts"],
     )
 
 
