@@ -76,3 +76,19 @@ def test_simple_token_transfer_proof():
     from aleo_tpu.snark.verifier import verify
 
     assert not verify(keys.vk, bad, ep.proof)
+
+
+def test_function_key_cache_roundtrip(micro_keys):
+    """Disk-cached keys reload with identical structure (pipeline key cache,
+    the reference's proving-key file role)."""
+    import time
+
+    reg, keys = micro_keys
+    t0 = time.time()
+    keys2 = pipeline.synthesize_keys(reg, "micro.aleo", "bump")
+    assert time.time() - t0 < 5, "second synthesis should hit the disk cache"
+    assert (keys2.index.n, keys2.index.m, keys2.index.ell) == (
+        keys.index.n, keys.index.m, keys.index.ell
+    )
+    assert keys2.vk.index_commitments == keys.vk.index_commitments
+    assert keys2.constraint_counts == keys.constraint_counts
