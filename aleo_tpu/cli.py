@@ -36,7 +36,7 @@ from .sdk.dev_server import _parse_inputs
 from .sdk.ledger import Ledger
 from .sdk.program_manager import ProgramManager, TransferType
 
-DEVNET_PATH = os.path.expanduser("~/.aleo_tpu/devnet.pkl")
+from .config import DEVNET_PATH, ENDPOINT, NETWORK, SERVER_HOST, SERVER_PORT
 
 MANIFEST = "program.json"
 
@@ -316,7 +316,8 @@ def _add_key_args(p):
     p.add_argument("--private-key", help="plaintext private key")
     p.add_argument("--ciphertext", help="encrypted private key ciphertext")
     p.add_argument("--password", help="password for the ciphertext")
-    p.add_argument("--endpoint", help="REST endpoint (default: local devnet)")
+    p.add_argument("--endpoint", default=ENDPOINT or None,
+                   help="REST endpoint (default: local devnet / $ALEO_TPU_ENDPOINT)")
     p.add_argument("--fee", type=int, default=0)
     p.add_argument("--prove", action="store_true", help="generate real SNARK proofs")
 
@@ -396,8 +397,8 @@ def main(argv=None):
     p.set_defaults(fn=cmd_devnet)
 
     p = sub.add_parser("develop")
-    p.add_argument("--host", default="0.0.0.0")
-    p.add_argument("--port", type=int, default=4040)
+    p.add_argument("--host", default=SERVER_HOST)
+    p.add_argument("--port", type=int, default=SERVER_PORT)
     p.add_argument("--key-ciphertext")
     p.add_argument("--prove", action="store_true")
     p.set_defaults(fn=cmd_develop)

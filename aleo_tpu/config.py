@@ -1,0 +1,51 @@
+"""Framework configuration (env-var overridable defaults).
+
+The reference's config surface is clap flags + hardcoded network defaults
+(`https://vm.aleo.org/api` + `testnet3`, `/root/reference/rust/src/api/mod.rs:48-54`;
+dev server `0.0.0.0:4040` + peer default, `rust/develop/src/lib.rs:191-195`).
+This module centralizes the equivalents, each overridable by environment
+variable (the idiomatic config channel for a deployed TPU service):
+
+  ALEO_TPU_NETWORK        network id               (default: testnet3)
+  ALEO_TPU_ENDPOINT       node REST endpoint       (default: local devnet)
+  ALEO_TPU_DEVNET_PATH    pickled dev-ledger path  (~/.aleo_tpu/devnet.pkl)
+  ALEO_TPU_SRS_DIR        SRS cache directory      (~/.aleo_tpu/srs)
+  ALEO_TPU_KEY_DIR        function-key cache dir   (~/.aleo_tpu/keys)
+  ALEO_TPU_XLA_CACHE      XLA compile cache dir    (~/.cache/aleo_tpu_xla)
+  ALEO_TPU_SERVER_HOST    dev server bind host     (0.0.0.0)
+  ALEO_TPU_SERVER_PORT    dev server port          (4040)
+  ALEO_TPU_PROFILE        enable stage profiling   (0)
+  ALEO_TPU_TRACE_DIR      jax.profiler trace dir   (unset)
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def _env(name: str, default: str) -> str:
+    return os.environ.get(name, default)
+
+
+NETWORK = _env("ALEO_TPU_NETWORK", "testnet3")
+ENDPOINT = _env("ALEO_TPU_ENDPOINT", "")          # "" = in-process dev ledger
+DEVNET_PATH = os.path.expanduser(
+    _env("ALEO_TPU_DEVNET_PATH", "~/.aleo_tpu/devnet.pkl")
+)
+SRS_DIR = os.path.expanduser(_env("ALEO_TPU_SRS_DIR", "~/.aleo_tpu/srs"))
+KEY_DIR = os.path.expanduser(_env("ALEO_TPU_KEY_DIR", "~/.aleo_tpu/keys"))
+XLA_CACHE = os.path.expanduser(
+    _env("ALEO_TPU_XLA_CACHE", "~/.cache/aleo_tpu_xla")
+)
+SERVER_HOST = _env("ALEO_TPU_SERVER_HOST", "0.0.0.0")
+SERVER_PORT = int(_env("ALEO_TPU_SERVER_PORT", "4040"))
+
+
+def enable_compile_cache() -> None:
+    """Attach the persistent XLA compile cache (Mosaic/limb-graph compiles
+    cost minutes cold; see BASELINE.md). Safe to call repeatedly."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", XLA_CACHE)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

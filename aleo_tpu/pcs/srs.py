@@ -34,7 +34,7 @@ from ..reference.tower import Fq2
 
 R = params.R
 
-_CACHE_DIR = os.path.expanduser("~/.aleo_tpu/srs")
+from ..config import SRS_DIR as _CACHE_DIR
 
 WINDOW_C = 8
 NWIN = -(-params.R.bit_length() // WINDOW_C)  # 32

@@ -101,7 +101,7 @@ class ExecutionProof:
     transition: Transition
 
 
-_KEY_CACHE_DIR = os.path.expanduser("~/.aleo_tpu/keys")
+from ..config import KEY_DIR as _KEY_CACHE_DIR
 
 
 def synthesize_keys(
