@@ -152,9 +152,6 @@ def synthesize_keys(
 def _save_keys(keys: FunctionKeys, path: str) -> None:
     import numpy as np
 
-    from ..snark.indexer import MatrixIndex
-    from ..snark.sparse import SparseTables
-
     os.makedirs(_KEY_CACHE_DIR, exist_ok=True)
     idx = keys.index
 

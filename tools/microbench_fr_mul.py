@@ -26,11 +26,11 @@ N = 1 << int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 16
 
 def bench(fn, *args, iters=20, label=""):
     out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0])   # force a real device sync:
+    t0 = time.time()                      # block_until_ready returns early
+    for _ in range(iters):                # through the axon tunnel and
+        out = fn(*args)                   # underreports by >10x
+    np.asarray(jax.tree.leaves(out)[0])
     dt = (time.time() - t0) / iters
     print(f"{label:32s} {dt*1e3:8.3f} ms  {N/dt/1e6:10.2f} Mmul/s")
     return out
