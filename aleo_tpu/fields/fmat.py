@@ -135,116 +135,107 @@ def dft_bank_np(mat) -> np.ndarray:
     return A.reshape(K7 * Rr, L7 * M)
 
 
-@functools.lru_cache(maxsize=None)
-def block_reduce_mats(E: int):
-    """Block-diagonal reduce matrices for E interleaved elements:
-    BDnp (L7*E, L7*E), BDp (K7*E, L7*E), row/col index = limb*E + element.
-    Permuted block-diagonal: BD[(l, e), (j, e')] = delta_ee' * W[l, j]."""
-    Wnp, Wp = _reduce_mats()
-    eye = np.eye(E, dtype=np.int8)
-    BDnp = np.einsum("lj,ef->lejf", Wnp, eye).reshape(L7 * E, L7 * E)
-    BDp = np.einsum("kj,ef->kejf", Wp, eye).reshape(K7 * E, L7 * E)
-    return BDnp, BDp
-
-
 # ---------------------------------------------------------------------------
-# device ops (pure jnp; Pallas-accelerated carry is injected on TPU)
+# device ops (pure jnp; the Pallas TPU carry in fmat_pallas.py is swapped in
+# by the dispatchers below when running on TPU)
 # ---------------------------------------------------------------------------
 
 
-def carry_cols(cols: jnp.ndarray, peels: int = 4) -> jnp.ndarray:
-    """Normalize int32 column sums (< 2^26) to 7-bit limbs along axis 0.
+def _shift_down(x: jnp.ndarray, s: int, axis: int) -> jnp.ndarray:
+    """Shift rows toward higher indices along `axis`, zero-filling."""
+    pad = jnp.zeros_like(jax.lax.slice_in_dim(x, 0, s, axis=axis))
+    keep = jax.lax.slice_in_dim(x, 0, x.shape[axis] - s, axis=axis)
+    return jnp.concatenate([pad, keep], axis=axis)
 
-    cols: (K, ...) int32. `peels` magnitude-reduction rounds bring values
-    <= 255, then an exact Kogge-Stone generate/propagate pass resolves the
-    remaining ripple chains. Carry out of the top row is dropped (callers'
-    range analysis guarantees it is absent). Returns int32 in [0, 127].
+
+def carry_cols(cols: jnp.ndarray, peels: int = 4, axis: int = 0) -> jnp.ndarray:
+    """Normalize int32 column sums (< 2^26) to 7-bit limbs along `axis`.
+
+    `peels` magnitude-reduction rounds bring values <= 255, then an exact
+    Kogge-Stone generate/propagate pass resolves the remaining ripple
+    chains. Carry out of the top position is dropped (callers' range
+    analysis guarantees it is absent). Returns int32 in [0, 127].
     """
-    K = cols.shape[0]
+    K = cols.shape[axis]
     x = cols
     for _ in range(peels):
         lo = x & (BASE - 1)
         hi = x >> LIMB_BITS
-        x = lo + jnp.concatenate([jnp.zeros_like(hi[:1]), hi[:-1]], axis=0)
+        x = lo + _shift_down(hi, 1, axis)
     d = x & (BASE - 1)
     g = x >> LIMB_BITS                       # in {0, 1} after peels
     pr = (d == BASE - 1).astype(jnp.int32)
     sh = 1
     while sh < K:
-        zs_g = jnp.zeros_like(g[:sh])
-        g = g | (pr & jnp.concatenate([zs_g, g[:-sh]], axis=0))
-        pr = pr & jnp.concatenate([zs_g, pr[:-sh]], axis=0)
+        g = g | (pr & _shift_down(g, sh, axis))
+        pr = pr & _shift_down(pr, sh, axis)
         sh *= 2
-    c_in = jnp.concatenate([jnp.zeros_like(g[:1]), g[:-1]], axis=0)
-    return d + c_in - ((d + c_in) & BASE)    # == (d + c_in) & 127
+    out = d + _shift_down(g, 1, axis)
+    return out & (BASE - 1)
 
 
-def _carry8(cols: jnp.ndarray, peels: int = 4) -> jnp.ndarray:
-    return carry_cols(cols, peels).astype(jnp.int8)
+def _dispatch_carry8(cols, peels, axis):
+    """Carry to int8; routed to the fused Pallas kernel on TPU."""
+    if jax.default_backend() == "tpu":
+        from . import fmat_pallas
+
+        return fmat_pallas.carry8(cols, peels, axis)
+    return carry_cols(cols, peels, axis).astype(jnp.int8)
 
 
-def mont_reduce_interleaved(t_cols: jnp.ndarray, E: int) -> jnp.ndarray:
-    """Montgomery-reduce raw convolution columns for E interleaved elements.
+def mont_reduce_cols(t_cols: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """Montgomery-reduce raw convolution columns (K7 wide along `axis`).
 
-    t_cols: (K7*E, T) int32, row = col*E + element (the dft_bank output
-    layout). Returns (L7*E, T) int8 limbs, values < 1.1p, same layout.
+    The limb axis is independent of every other axis (the dft_bank layout is
+    limb-major), so the N'/p reduction matmuls contract just the limb axis
+    with the globally shared Wnp/Wp band matrices. Returns int8 limbs
+    (L7 along `axis`), values < 1.1p.
     """
-    T = t_cols.shape[-1]
-    BDnp, BDp = block_reduce_mats(E)
-    t3 = t_cols.reshape(K7, E, T)
-    t_lo = _carry8(t3)[:L7].reshape(L7 * E, T)           # t mod R7 digits
+    Wnp, Wp = _reduce_mats()
+    t_lo = jax.lax.slice_in_dim(
+        _dispatch_carry8(t_cols, 4, axis), 0, L7, axis=axis
+    )
+    nd = t_cols.ndim
     m_cols = jax.lax.dot_general(
-        jnp.asarray(BDnp), t_lo, (((1,), (0,)), ((), ())),
+        jnp.asarray(Wnp), t_lo, (((1,), (axis,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                        # limb axis now leading
+    m_cols = jnp.moveaxis(m_cols, 0, axis) if axis else m_cols
+    m = _dispatch_carry8(m_cols, 3, axis)
+    u_cols = jax.lax.dot_general(
+        jnp.asarray(Wp), m, (((1,), (axis,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    m = _carry8(m_cols.reshape(L7, E, T), peels=3).reshape(L7 * E, T)
-    u_cols = jax.lax.dot_general(
-        jnp.asarray(BDp), m, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ) + t_cols
-    u = carry_cols(u_cols.reshape(K7, E, T))
-    return u[L7:].astype(jnp.int8).reshape(L7 * E, T)
+    u_cols = (jnp.moveaxis(u_cols, 0, axis) if axis else u_cols) + t_cols
+    u = _dispatch_carry8(u_cols, 4, axis)
+    return jax.lax.slice_in_dim(u, L7, K7, axis=axis)
 
 
 def dft_apply(bank: jnp.ndarray, x: jnp.ndarray, E_out: int) -> jnp.ndarray:
     """One radix stage: x (L7*E_in, T) int8 -> (L7*E_out, T) int8.
 
-    bank: (K7*E_out, L7*E_in) int8 from dft_bank_np. The matmul computes the
-    raw field-matmul columns; mont_reduce_interleaved brings them back to
-    38-limb int8 form.
+    bank: (K7*E_out, L7*E_in) int8 from dft_bank_np (limb-major rows). The
+    matmul computes raw field-matmul columns; the reduction sees them as
+    (K7, E_out*T) — a free reshape in this layout.
     """
+    T = x.shape[-1]
     t_cols = jax.lax.dot_general(
         bank, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
-    return mont_reduce_interleaved(t_cols, E_out)
+    u = mont_reduce_cols(t_cols.reshape(K7, E_out * T))
+    return u.reshape(L7 * E_out, T)
 
 
 def toeplitz_apply(bank: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Batched Montgomery const-mul: x (B, L7, T) s8 * bank (B, K7, L7) s8
-    -> (B, L7, T) s8 (values < 1.1p).
-
-    One batched matmul for the constants' convolution plus the shared-matrix
-    block reduction (E=1 per batch element handled by folding B into T).
-    """
-    B, _, T = x.shape
+    -> (B, L7, T) s8 (values < 1.1p). One batched matmul for the constants'
+    convolution; the shared reduction contracts the middle limb axis
+    directly (no transposes)."""
     t_cols = jax.lax.dot_general(
         bank, x, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.int32,
     )                                                    # (B, K7, T)
-    t_flat = jnp.moveaxis(t_cols, 0, 1).reshape(K7, B * T)
-    Wnp, Wp = _reduce_mats()
-    t_lo = _carry8(t_flat)[:L7]
-    m_cols = jax.lax.dot_general(
-        jnp.asarray(Wnp), t_lo, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    m = _carry8(m_cols, peels=2)
-    u_cols = jax.lax.dot_general(
-        jnp.asarray(Wp), m, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ) + t_flat
-    u = carry_cols(u_cols)[L7:].astype(jnp.int8)
-    return jnp.moveaxis(u.reshape(L7, B, T), 1, 0)
+    return mont_reduce_cols(t_cols, axis=1)
 
 
 # ---------------------------------------------------------------------------

@@ -67,20 +67,25 @@ def _int_binop(op: str, a: Value, b: Value) -> Value:
         v = x - y
     elif base == "mul":
         v = x * y
-    elif base == "div":
+    elif base in ("div", "rem"):
         if y == 0:
             raise ExecutionError("division by zero")
-        v = int(x / y) if signed else x // y
-    elif base == "rem":
-        if y == 0:
-            raise ExecutionError("rem by zero")
-        v = x - y * (int(x / y) if signed else x // y)
+        # truncated toward zero (exact bigint math — float division loses
+        # precision at 128 bits)
+        q = abs(x) // abs(y)
+        if (x < 0) != (y < 0):
+            q = -q
+        v = q if base == "div" else x - y * q
     elif base == "pow":
         v = x**y
-    elif base == "shl":
-        v = x << y
-    elif base == "shr":
-        v = x >> y
+    elif base in ("shl", "shr"):
+        if wrap:
+            k = y % w
+        elif y >= w:
+            raise ExecutionError("shift amount exceeds type width")
+        else:
+            k = y
+        v = (x << k) if base == "shl" else (x >> k)
     elif base in ("and", "or", "xor", "nand", "nor"):
         m = (1 << w) - 1
         xv, yv = x & m, y & m

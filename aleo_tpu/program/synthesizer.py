@@ -888,6 +888,330 @@ class _Ctx:
         raw = val if ty.startswith("u") else (val - (1 << w) if val >= (1 << (w - 1)) else val)
         return CV(ty, lc, val, raw)
 
+    # -- wide/signed integer helpers (128-bit-safe gadget family) ------------
+
+    def _int_sign_cv(self, a: CV, w: int) -> CV:
+        """Sign bit of a signed integer as a boolean CV."""
+        bits = self.g.decompose(a, w)
+        neg = a.raw is not None and a.raw < 0
+        return CV("boolean", LC.of(bits[w - 1]), int(neg), neg)
+
+    def _int_abs(self, a: CV, w: int) -> Tuple[CV, CV]:
+        """(magnitude as a field CV in [0, 2^(w-1)], sign boolean CV).
+
+        Works for the minimum value too (|-(2^(w-1))| = 2^(w-1) is fine as a
+        field magnitude even though it does not fit the signed type).
+        """
+        g = self.g
+        sign = self._int_sign_cv(a, w)
+        s_lc, s_val = self._int_signed_lc(a, w)
+        pos = CV("field", s_lc, s_val % R, None)
+        neg = CV("field", LC() - s_lc, (-s_val) % R, None)
+        mag = g.select(sign, neg, pos, "field")
+        mag.raw = abs(a.raw)
+        return mag, sign
+
+    def _split_halves(self, v: CV, w: int) -> Tuple[CV, CV]:
+        """Split a w-bit-range-checked value into (lo, hi) w/2-bit halves."""
+        g = self.g
+        h = w // 2
+        bits = g.decompose(v, w)
+        lo_lc, hi_lc = LC(), LC()
+        for i in range(h):
+            lo_lc = lo_lc + LC.of(bits[i], 1 << i)
+            hi_lc = hi_lc + LC.of(bits[h + i], 1 << i)
+        fv = v.fval
+        return (
+            CV("field", lo_lc, fv & ((1 << h) - 1), None),
+            CV("field", hi_lc, (fv >> h) & ((1 << h) - 1), None),
+        )
+
+    def _umul_checked_wide(self, x: CV, y: CV, w: int, ctx: str) -> CV:
+        """x * y for w-bit magnitudes when the raw product may exceed the
+        field: limb-split product constrained to be < 2^w (overflow makes
+        the system unsatisfiable; honest overflow raises SynthesisError).
+
+        Soundness: with x = xl + 2^h xh, y = yl + 2^h yh (h = w/2), the
+        constraints xh*yh = 0, (xl*yh + xh*yl) < 2^h, and
+        out = xl*yl + 2^h * (xl*yh + xh*yl) force out == x*y < 2^w.
+        """
+        g = self.g
+        res = x.raw * y.raw
+        if res >= (1 << w):
+            raise SynthesisError(f"overflow in {ctx}")
+        h = w // 2
+        xl, xh = self._split_halves(x, w)
+        yl, yh = self._split_halves(y, w)
+        p_ll = g.mul(xl, yl)
+        p_lh = g.mul(xl, yh)
+        p_hl = g.mul(xh, yl)
+        p_hh = g.mul(xh, yh)
+        g.enforce_zero(p_hh)
+        s = g.add(p_lh, p_hl)
+        g.decompose(s, h)                    # forces s < 2^h
+        out = CV("field", p_ll.lc + s.lc.scale(1 << h), res % R, res)
+        return out
+
+    def _umul_wrap_128(self, a: CV, b: CV, w: int) -> Tuple[LC, int]:
+        """(a * b) mod 2^w on w-bit encodings when a*b may exceed the field
+        (w = 128). Returns (result LC over fresh bits, result value)."""
+        g = self.g
+        h = w // 2
+        al, ah = self._split_halves(a, w)
+        bl, bh = self._split_halves(b, w)
+        p_ll = g.mul(al, bl)
+        p_lh = g.mul(al, bh)
+        p_hl = g.mul(ah, bl)
+        s = g.add(p_lh, p_hl)                # < 2^(w+1)
+        s_bits = g.decompose(s, w + 1)
+        s_low = LC()
+        for i in range(h):
+            s_low = s_low + LC.of(s_bits[i], 1 << i)
+        s_low_v = s.fval % (1 << h)
+        t = CV("field", p_ll.lc + s_low.scale(1 << h),
+               (p_ll.fval + (s_low_v << h)) % R, None)
+        t_bits = g.decompose(t, w + 1)       # t < 2^w + 2^w
+        res_lc = LC()
+        for i in range(w):
+            res_lc = res_lc + LC.of(t_bits[i], 1 << i)
+        return res_lc, t.fval % (1 << w)
+
+    def _signed_result(self, ty: str, w: int, res_raw: int, mag: CV, sign: CV) -> CV:
+        """Allocate a signed result and enforce signed(out) == +-mag."""
+        g = self.g
+        out = self._int_new(ty, res_raw)
+        so, _ = self._int_signed_lc(out, w)
+        pos = CV("field", mag.lc, mag.fval, None)
+        neg = CV("field", LC() - mag.lc, (-mag.fval) % R, None)
+        want = g.select(sign, neg, pos, "field")
+        g.cs.enforce_eq(so, want.lc)
+        return out
+
+    def _bits_as_cvs(self, a: CV, w: int) -> List[CV]:
+        bits = self.g.decompose(a, w)
+        return [
+            CV("boolean", LC.of(bv), (a.fval >> i) & 1, bool((a.fval >> i) & 1))
+            for i, bv in enumerate(bits)
+        ]
+
+    def _shift_amount_bits(self, b: CV, w: int, wrap: bool) -> Tuple[List[CV], int]:
+        """Decompose a shift-amount operand; checked mode constrains it < w.
+
+        Returns (low log2(w) bits as boolean CVs, shift value mod w)."""
+        g = self.g
+        wb = INT_WIDTHS[b.type_]
+        lg = w.bit_length() - 1
+        bits = self._bits_as_cvs(b, wb)
+        if not wrap:
+            if b.raw >= w:
+                raise SynthesisError("shift amount exceeds type width")
+            for bit in bits[lg:]:
+                g.enforce_zero(bit)
+        return bits[:lg], b.raw % w
+
+    def _barrel_shift(self, a: CV, sbits: List[CV], k: int, w: int,
+                      right: bool, fill: Optional[CV]) -> CV:
+        """Variable shift by sum(sbits_j * 2^j): log2(w) select stages over
+        the bit vector. `fill` is the incoming bit (sign for arithmetic shr,
+        else constant 0)."""
+        g = self.g
+        cur = self._bits_as_cvs(a, w)
+        zero = g.constant(0, "boolean", False)
+        fill = fill if fill is not None else zero
+        for j, sb in enumerate(sbits):
+            step = 1 << j
+            nxt = []
+            for i in range(w):
+                src = i + step if right else i - step
+                shifted = cur[src] if 0 <= src < w else fill if right else zero
+                nxt.append(g.select(sb, shifted, cur[i], "boolean"))
+            cur = nxt
+        lc = LC()
+        for i, bit in enumerate(cur):
+            lc = lc + bit.lc.scale(1 << i)
+        ty = a.type_
+        kk = k
+        m = (1 << w) - 1
+        if right:
+            # python's >> is arithmetic on signed ints, logical via fval
+            val = (a.raw >> kk) % (1 << w) if fill is not zero else (a.fval >> kk) & m
+        else:
+            val = (a.fval << kk) & m
+        raw = val if ty.startswith("u") else (val - (1 << w) if val >= (1 << (w - 1)) else val)
+        return CV(ty, lc, val, raw)
+
+    def _var_shl_checked(self, a: CV, sbits: List[CV], k: int, w: int,
+                         ty: str, signed: bool, op: str) -> CV:
+        """Checked shl by a register amount: a * 2^s as a checked multiply
+        (2^s built from log2(w) selects of constants)."""
+        g = self.g
+        t = g.constant(1, "field", 1)
+        for j, sb in enumerate(sbits):
+            t = g.select(sb, g.scale(t, 1 << (1 << j)), t, "field")
+            t.raw = t.fval
+        res = a.raw << k
+        if signed:
+            if not (-(1 << (w - 1)) <= res < (1 << (w - 1))):
+                raise SynthesisError(f"{ty} overflow in {op}")
+            mag_a, sign_a = self._int_abs(a, w)
+            if w > 64:
+                mag = self._umul_checked_wide(mag_a, t, w, f"{ty} shl")
+            else:
+                mag = g.mul(mag_a, t)
+                mag.raw = mag_a.raw << k
+                g.decompose(mag, w)
+            return self._signed_result(ty, w, res, mag, sign_a)
+        if res >= (1 << w):
+            raise SynthesisError(f"{ty} overflow in {op}")
+        if w > 64:
+            prod = self._umul_checked_wide(a, t, w, f"{ty} shl")
+            out = self._int_new(ty, res)
+            g.cs.enforce_eq(prod.lc, out.lc)
+            return out
+        out = self._int_new(ty, res)
+        g.cs.enforce(a.lc, t.lc, out.lc)
+        return out
+
+    def _wrap_mul_flag(self, x: CV, y: CV, w: int) -> Tuple[CV, CV]:
+        """(x * y) mod 2^w on w-bit unsigned encodings, plus an overflow
+        boolean (true iff the true product >= 2^w). Both CVs are fresh."""
+        g = self.g
+        if w <= 64:
+            prod = g.mul(x, y)
+            prod.raw = x.raw * y.raw
+            bits = g.decompose(prod, 2 * w)
+            lo, hi = LC(), LC()
+            for i in range(w):
+                lo = lo + LC.of(bits[i], 1 << i)
+                hi = hi + LC.of(bits[w + i], 1 << i)
+            enc = prod.raw % (1 << w)
+            res = CV("field", lo, enc, enc)
+            hi_v = prod.raw >> w
+            ovf = self.g.bool_not(
+                g.is_zero(CV("field", hi, hi_v % R, hi_v))
+            )
+            return res, ovf
+        # w = 128: limb-split wrap with overflow = (hi product != 0) or
+        # (cross-sum high != 0) or carry into bit w
+        h = w // 2
+        xl, xh = self._split_halves(x, w)
+        yl, yh = self._split_halves(y, w)
+        p_ll = g.mul(xl, yl)
+        p_lh = g.mul(xl, yh)
+        p_hl = g.mul(xh, yl)
+        p_hh = g.mul(xh, yh)
+        s = g.add(p_lh, p_hl)
+        s_bits = g.decompose(s, w + 1)
+        s_low, s_high = LC(), LC()
+        for i in range(h):
+            s_low = s_low + LC.of(s_bits[i], 1 << i)
+        for i in range(h, w + 1):
+            s_high = s_high + LC.of(s_bits[i], 1 << (i - h))
+        s_low_v = s.fval % (1 << h)
+        t = CV("field", p_ll.lc + s_low.scale(1 << h),
+               (p_ll.fval + (s_low_v << h)) % R, None)
+        t_bits = g.decompose(t, w + 1)
+        res_lc = LC()
+        for i in range(w):
+            res_lc = res_lc + LC.of(t_bits[i], 1 << i)
+        enc = t.fval % (1 << w)
+        res = CV("field", res_lc, enc, enc)
+        true_prod = x.raw * y.raw
+        hi_total_v = true_prod >> w
+        hi_total = CV(
+            "field",
+            p_hh.lc + s_high + LC.of(t_bits[w]),
+            hi_total_v % R, hi_total_v,
+        )
+        ovf = g.bool_not(g.is_zero(hi_total))
+        return res, ovf
+
+    def _var_pow(self, a: CV, b: CV, w: int, ty: str, signed: bool,
+                 wrap: bool, op: str) -> CV:
+        """pow with a register exponent: LSB-first square-and-multiply over
+        the exponent's bits, each step a wrap-mul with an overflow flag.
+
+        Checked mode enforces no gated step overflowed, mirroring Rust
+        checked_pow (acc-muls gated on the exponent bit; base squarings
+        gated on any higher bit being set). Signed bases run on
+        sign-magnitude; the one legal boundary value (result exactly
+        -(2^(w-1))) is admitted through the final signed-result equation.
+        """
+        g = self.g
+        wb = INT_WIDTHS[b.type_]
+        ebits = self._bits_as_cvs(b, wb)
+        res_raw = a.raw ** b.raw
+        if wrap:
+            res_raw %= (1 << w)
+            if signed and res_raw >= (1 << (w - 1)):
+                res_raw -= 1 << w
+        else:
+            lo_ok = -(1 << (w - 1)) if signed else 0
+            hi_ok = (1 << (w - 1)) if signed else (1 << w)
+            if not (lo_ok <= res_raw < hi_ok):
+                raise SynthesisError(f"{ty} overflow in {op}")
+        if signed:
+            mag_a, sign_a = self._int_abs(a, w)
+            base_cv = mag_a
+            # result sign: negative iff base negative and exponent odd
+            sign_res = g.bool_and(sign_a, ebits[0]) if ebits else g.constant(0, "boolean", False)
+        else:
+            base_cv = CV("field", a.lc, a.fval, a.raw)
+            base_cv.bits = a.bits
+            sign_res = None
+        one = g.constant(1, "field", 1)
+        acc = one
+        ovfs: List[CV] = []
+        # suffix-nonzero gates for base squarings
+        for j, ebit in enumerate(ebits):
+            stepped, st_ovf = self._wrap_mul_flag(acc, base_cv, w)
+            acc = g.select(ebit, stepped, acc, "field")
+            acc.raw = acc.fval
+            ovfs.append(g.bool_and(ebit, st_ovf))
+            if j < wb - 1:
+                sq, sq_ovf = self._wrap_mul_flag(base_cv, base_cv, w)
+                # squaring matters iff some higher exponent bit is set
+                higher = ebits[j + 1]
+                for hb in ebits[j + 2 :]:
+                    higher = g.bool_or(higher, hb)
+                ovfs.append(g.bool_and(higher, sq_ovf))
+                base_cv = sq
+        if not wrap:
+            for f in ovfs:
+                g.enforce_zero(f)
+            if signed:
+                # magnitude must fit the signed range except the exact MIN,
+                # which the signed-result equation admits for negatives
+                msb_ok_res = res_raw if res_raw >= 0 else -res_raw
+                if msb_ok_res > (1 << (w - 1)) or (
+                    msb_ok_res == (1 << (w - 1)) and res_raw > 0
+                ):
+                    raise SynthesisError(f"{ty} overflow in {op}")
+                return self._signed_result(ty, w, res_raw, acc, sign_res)
+            out = self._int_new(ty, res_raw)
+            g.cs.enforce_eq(acc.lc, out.lc)
+            return out
+        # wrapped result
+        if signed:
+            # wrap on sign-magnitude: res = (+-mag) mod 2^w
+            enc = res_raw % (1 << w)
+            out = self._int_new(ty, res_raw)
+            so, _ = self._int_signed_lc(out, w)
+            pos = CV("field", acc.lc, acc.fval, None)
+            neg = CV("field", LC() - acc.lc, (-acc.fval) % R, None)
+            want = g.select(sign_res, neg, pos, "field")
+            # signed(out) == +-mag  (mod 2^w wrap folded through encoding)
+            diff = so - want.lc
+            # difference is a multiple of 2^w in [-2^w, 2^w]: allocate k
+            kv = (int(out.raw) - (acc.fval if not sign_res.raw else -acc.fval)) >> w
+            kw = g.witness(kv % R, "field", kv)
+            g.cs.enforce_eq(diff, kw.lc.scale(1 << w))
+            g.decompose(CV("field", kw.lc + LC.constant(1), (kv + 1) % R, None), 2)
+            return out
+        out = self._int_new(ty, res_raw)
+        g.cs.enforce_eq(acc.lc, out.lc)
+        return out
+
     def _int_binop(self, op: str, a: CV, b: CV) -> CV:
         g = self.g
         ty = a.type_
@@ -909,7 +1233,21 @@ class _Ctx:
                     res_lc, res = sa - sb, a.raw - b.raw
                 else:
                     if w > 64:
-                        raise SynthesisError("i128 mul is not supported in-circuit yet")
+                        # i128 mul: the raw product (up to 2^254) exceeds the
+                        # field, so route through sign-magnitude limb splits.
+                        if wrap:
+                            # mod-2^w product is sign-agnostic on encodings
+                            res_lc128, enc = self._umul_wrap_128(a, b, w)
+                            raw = enc - (1 << w) if enc >= (1 << (w - 1)) else enc
+                            return CV(ty, res_lc128, enc, raw)
+                        res = a.raw * b.raw
+                        if not (-(1 << (w - 1)) <= res < (1 << (w - 1))):
+                            raise SynthesisError(f"{ty} overflow in {op}")
+                        mag_a, sign_a = self._int_abs(a, w)
+                        mag_b, sign_b = self._int_abs(b, w)
+                        mag = self._umul_checked_wide(mag_a, mag_b, w, f"{ty} mul")
+                        sign = g.bool_xor(sign_a, sign_b)
+                        return self._signed_result(ty, w, res, mag, sign)
                     prod = g.cs.alloc_witness((a.raw * b.raw) % R)
                     g.cs.enforce(sa, sb, LC.of(prod))
                     res_lc, res = LC.of(prod), a.raw * b.raw
@@ -948,7 +1286,14 @@ class _Ctx:
                     return out
             else:
                 if w > 64:
-                    raise SynthesisError("u128 mul is not supported in-circuit yet")
+                    # u128 mul: raw product up to 2^256 exceeds the field
+                    if wrap:
+                        res_lc128, enc = self._umul_wrap_128(a, b, w)
+                        return CV(ty, res_lc128, enc, enc)
+                    prod_f = self._umul_checked_wide(a, b, w, f"{ty} mul")
+                    out = self._int_new(ty, prod_f.raw)
+                    g.cs.enforce_eq(prod_f.lc, out.lc)
+                    return out
                 prod = g.mul(a, b)
                 res_lc, res = prod.lc, a.raw * b.raw
                 full_w = 2 * w
@@ -966,33 +1311,93 @@ class _Ctx:
             return out
 
         if base in ("div", "rem", "mod"):
-            if signed:
-                raise SynthesisError("signed div/rem is not supported in-circuit yet")
             if b.raw == 0:
                 raise SynthesisError("division by zero")
+            if signed:
+                # truncated division: |a| = q|b| + r, r < |b|; q carries
+                # sign(a) xor sign(b), r carries sign(a) (snarkVM/Rust
+                # semantics). MIN / -1 overflows (host raise, like snarkVM's
+                # halt).
+                mag_a, sign_a = self._int_abs(a, w)
+                mag_b, sign_b = self._int_abs(b, w)
+                qm_v, rm_v = abs(a.raw) // abs(b.raw), abs(a.raw) % abs(b.raw)
+                neg_q = (a.raw < 0) != (b.raw < 0)
+                q_res = -qm_v if neg_q else qm_v
+                r_res = -rm_v if a.raw < 0 else rm_v
+                if base == "div" and not (-(1 << (w - 1)) <= q_res < (1 << (w - 1))):
+                    raise SynthesisError(f"{ty} overflow in div")
+                q_mag = g.witness(qm_v, "field", qm_v)
+                r_mag = g.witness(rm_v, "field", rm_v)
+                g.decompose(q_mag, w)
+                g.decompose(r_mag, w)
+                if w > 64:
+                    # q|b| can exceed the field: limb-split checked product
+                    qb = self._umul_checked_wide(q_mag, mag_b, w, "i128 div")
+                else:
+                    qb = g.mul(q_mag, mag_b)
+                g.cs.enforce_eq(qb.lc + r_mag.lc, mag_a.lc)
+                lt = g.unsigned_lt(r_mag, mag_b, w)
+                g.enforce_eq(lt, g.constant(1, "boolean", True))
+                sign_q = g.bool_and(
+                    g.bool_xor(sign_a, sign_b), g.bool_not(g.is_zero(q_mag))
+                )
+                sign_r = g.bool_and(sign_a, g.bool_not(g.is_zero(r_mag)))
+                if base == "div":
+                    return self._signed_result(ty, w, q_res, q_mag, sign_q)
+                return self._signed_result(ty, w, r_res, r_mag, sign_r)
             q, r = a.raw // b.raw, a.raw % b.raw
             qv = self._int_new(ty, q)
             rv = self._int_new(ty, r)
             # a = q*b + r  and  r < b
-            qb = g.mul(qv, b)
+            if w > 64:
+                qb = self._umul_checked_wide(qv, b, w, "u128 div")
+            else:
+                qb = g.mul(qv, b)
             g.cs.enforce_eq(a.lc, qb.lc + rv.lc)
             lt = g.unsigned_lt(rv, b, w)
             g.enforce_eq(lt, g.constant(1, "boolean", True))
             return qv if base == "div" else rv
 
         if base in ("shl", "shr"):
-            if not isinstance(b.raw, int) or b.lc.terms not in ({}, {0: b.fval}):
-                raise SynthesisError("shift amount must be a literal")
+            is_lit = isinstance(b.raw, int) and b.lc.terms in ({}, {0: b.fval})
+            if not is_lit:
+                # register shift amount: barrel shifter over log2(w) stages;
+                # checked mode constrains the amount < w, checked shl is
+                # re-expressed as a checked multiply by 2^s.
+                sbits, k = self._shift_amount_bits(b, w, wrap)
+                if base == "shr":
+                    fill = self._int_sign_cv(a, w) if signed else None
+                    return self._barrel_shift(a, sbits, k, w, True, fill)
+                if wrap:
+                    return self._barrel_shift(a, sbits, k, w, False, None)
+                return self._var_shl_checked(a, sbits, k, w, ty, signed, op)
+            if not wrap and b.raw >= w:
+                raise SynthesisError("shift amount exceeds type width")
             k = b.raw % w
             bits = g.decompose(a, w)
             lc = LC()
             if base == "shr":
                 if signed:
-                    raise SynthesisError("signed shr not supported in-circuit yet")
+                    # arithmetic shift: vacated bits copy the sign bit
+                    for i in range(k, w):
+                        lc = lc + LC.of(bits[i], 1 << (i - k))
+                    if k:
+                        fill = (1 << w) - (1 << (w - k))
+                        lc = lc + LC.of(bits[w - 1], fill)
+                    raw = a.raw >> k        # python >> is arithmetic
+                    return CV(ty, lc, raw % (1 << w), raw)
                 for i in range(k, w):
                     lc = lc + LC.of(bits[i], 1 << (i - k))
                 val = (a.fval >> k)
             else:
+                if signed and not wrap:
+                    if not (-(1 << (w - 1)) <= (a.raw << k) < (1 << (w - 1))):
+                        raise SynthesisError(f"{ty} overflow in shl")
+                    sa_lc, sa_val = self._int_signed_lc(a, w)
+                    out = self._int_new(ty, a.raw << k)
+                    so, _ = self._int_signed_lc(out, w)
+                    g.cs.enforce_eq(sa_lc.scale(1 << k), so)
+                    return out
                 for i in range(w - k):
                     lc = lc + LC.of(bits[i], 1 << (i + k))
                 val = (a.fval << k) % (1 << w)
@@ -1001,27 +1406,33 @@ class _Ctx:
                 if not wrap:
                     for i in range(w - k, w):
                         g.cs.enforce_eq(LC.of(bits[i]), LC())
-            return CV(ty, lc, val, val)
+            raw = val if not signed else (val - (1 << w) if val >= (1 << (w - 1)) else val)
+            return CV(ty, lc, val, raw)
 
         if base == "pow":
-            if not isinstance(b.raw, int) or b.lc.terms not in ({}, {0: b.fval}):
-                raise SynthesisError("pow exponent must be a literal")
-            res = a.raw ** b.raw
-            if res >= (1 << w) or res < 0:
-                raise SynthesisError(f"{ty} overflow in pow")
-            acc = g.constant(1, ty, 1)
-            e = b.raw
-            base_cv = a
-            while e:
-                if e & 1:
-                    acc = g.mul(acc, base_cv, ty)
-                    acc.raw = (acc.raw if acc.raw is not None else 1)
-                e >>= 1
-                if e:
-                    base_cv = g.mul(base_cv, base_cv, ty)
-            out = self._int_new(ty, res)
-            g.cs.enforce_eq(acc.lc, out.lc)
-            return out
+            is_lit = isinstance(b.raw, int) and b.lc.terms in ({}, {0: b.fval})
+            if (is_lit and not signed and not wrap
+                    and isinstance(b.raw, int) and 0 <= b.raw * w <= 252):
+                # fast literal path: plain square-and-multiply; sound only
+                # while a^e cannot wrap mod the field (e*w <= 252), so the
+                # final w-bit-range equality pins the exact integer power
+                res = a.raw ** b.raw
+                if res >= (1 << w) or res < 0:
+                    raise SynthesisError(f"{ty} overflow in pow")
+                acc = g.constant(1, ty, 1)
+                e = b.raw
+                base_cv = a
+                while e:
+                    if e & 1:
+                        acc = g.mul(acc, base_cv, ty)
+                        acc.raw = (acc.raw if acc.raw is not None else 1)
+                    e >>= 1
+                    if e:
+                        base_cv = g.mul(base_cv, base_cv, ty)
+                out = self._int_new(ty, res)
+                g.cs.enforce_eq(acc.lc, out.lc)
+                return out
+            return self._var_pow(a, b, w, ty, signed, wrap, op)
 
         raise SynthesisError(f"unsupported int op {op}")
 
