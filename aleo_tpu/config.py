@@ -40,6 +40,11 @@ XLA_CACHE = os.path.expanduser(
 SERVER_HOST = _env("ALEO_TPU_SERVER_HOST", "0.0.0.0")
 SERVER_PORT = int(_env("ALEO_TPU_SERVER_PORT", "4040"))
 
+# Minimum transform size for the int8-MXU MatNTT path on TPU (ntt/matntt.py);
+# below it the flat VPU butterfly network wins on dispatch/compile overhead.
+# Raise past every working size (e.g. 1 << 30) to disable MatNTT.
+MATNTT_MIN_N = int(_env("ALEO_TPU_MATNTT_MIN", str(1 << 14)))
+
 
 def enable_compile_cache() -> None:
     """Attach the persistent XLA compile cache (Mosaic/limb-graph compiles

@@ -228,14 +228,22 @@ def dft_apply(bank: jnp.ndarray, x: jnp.ndarray, E_out: int) -> jnp.ndarray:
 
 def toeplitz_apply(bank: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Batched Montgomery const-mul: x (B, L7, T) s8 * bank (B, K7, L7) s8
-    -> (B, L7, T) s8 (values < 1.1p). One batched matmul for the constants'
-    convolution; the shared reduction contracts the middle limb axis
-    directly (no transposes)."""
+    -> (B, L7, T) s8 (values < 1.1p).
+
+    One batched matmul for the constants' convolution, then ONE int32
+    transpose into limb-leading layout so the whole reduction runs on the
+    cheap 2D path (contiguous reshapes, 2D fused carries) — the 3D
+    axis-1 path costs two hidden transposes per reduce and poorly-tiled
+    carry kernels (measured 2-4x slower at the split-twiddle shapes).
+    """
+    B, _, T = x.shape
     t_cols = jax.lax.dot_general(
         bank, x, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.int32,
     )                                                    # (B, K7, T)
-    return mont_reduce_cols(t_cols, axis=1)
+    t2 = jnp.moveaxis(t_cols, 0, 1).reshape(K7, B * T)
+    u = mont_reduce_cols(t2)                             # (L7, B*T) int8
+    return jnp.moveaxis(u.reshape(L7, B, T), 0, 1)
 
 
 # ---------------------------------------------------------------------------

@@ -62,17 +62,17 @@ def _build_2d(K: int, M_pad: int, peels: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_3d(B: int, K: int, T_pad: int, peels: int):
+def _build_3d(B: int, K: int, T_pad: int, peels: int, tile: int):
     def kernel(x_ref, o_ref):
         o_ref[:] = _carry_body(x_ref[:][0], peels)[None]
 
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, K, T_pad), jnp.int8),
-        grid=(B, T_pad // TILE),
-        in_specs=[pl.BlockSpec((1, K, TILE), lambda b, t: (b, 0, t),
+        grid=(B, T_pad // tile),
+        in_specs=[pl.BlockSpec((1, K, tile), lambda b, t: (b, 0, t),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, K, TILE), lambda b, t: (b, 0, t),
+        out_specs=pl.BlockSpec((1, K, tile), lambda b, t: (b, 0, t),
                                memory_space=pltpu.VMEM),
     )
 
@@ -94,7 +94,8 @@ def carry8(cols: jnp.ndarray, peels: int, axis: int) -> jnp.ndarray:
         out = _build_2d(x.shape[0], x.shape[1], peels)(x)
         return out[:, :n]
     if cols.ndim == 3 and axis == 1:
-        x, n = _pad_last(cols, TILE)
-        out = _build_3d(x.shape[0], x.shape[1], x.shape[2], peels)(x)
+        tile = max(128, min(TILE, -(-cols.shape[2] // 128) * 128))
+        x, n = _pad_last(cols, tile)
+        out = _build_3d(x.shape[0], x.shape[1], x.shape[2], peels, tile)(x)
         return out[:, :, :n]
     return fmat.carry_cols(cols, peels, axis).astype(jnp.int8)

@@ -245,35 +245,49 @@ def transform7(x7: jnp.ndarray, p: Plan) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# public API: (16, n) u32 16-bit Montgomery limbs, lazy in/out
+# public API: (16, n) u32 16-bit Montgomery limbs, lazy in/out.
+# Entry points are jit-cached per (n, direction, shift): the prover calls
+# them eagerly, and un-jitted graphs would dispatch every limb op through
+# the device tunnel one by one.
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=64)
+def _jit_entry(n: int, inverse: bool, shift: int | None):
+    ninv = pow(n, -1, R) if inverse else 1
+    p = plan(n, inverse, ninv if inverse else 1)
+    sp = None
+    if shift is not None:
+        base = shift if not inverse else pow(shift, -1, R)
+        sp = scale_plan(n, base, tuple(p.dims))
+
+    def fwd(x16):
+        x7 = fmat.pack7(x16)
+        if sp is not None and not inverse:
+            x7 = _scale_digits(
+                x7.reshape((L7,) + tuple(p.dims)), sp
+            ).reshape(L7, n)
+        out7 = transform7(x7, p)
+        if sp is not None and inverse:
+            out7 = _scale_digits(
+                out7.reshape((L7,) + tuple(p.dims)), sp
+            ).reshape(L7, n)
+        return fmat.unpack7(out7)
+
+    return jax.jit(fwd)
+
+
 def ntt_lf16(x16: jnp.ndarray) -> jnp.ndarray:
-    n = x16.shape[1]
-    return fmat.unpack7(transform7(fmat.pack7(x16), plan(n, False)))
+    return _jit_entry(x16.shape[1], False, None)(x16)
 
 
 def intt_lf16(x16: jnp.ndarray) -> jnp.ndarray:
-    n = x16.shape[1]
-    ninv = pow(n, -1, R)
-    return fmat.unpack7(transform7(fmat.pack7(x16), plan(n, True, ninv)))
+    return _jit_entry(x16.shape[1], True, None)(x16)
 
 
 def coset_ntt_lf16(x16: jnp.ndarray, shift: int) -> jnp.ndarray:
-    n = x16.shape[1]
-    p = plan(n, False)
-    x7 = fmat.pack7(x16).reshape((L7,) + tuple(p.dims))
-    x7 = _scale_digits(x7, scale_plan(n, shift, tuple(p.dims)))
-    return fmat.unpack7(transform7(x7.reshape(L7, n), p))
+    return _jit_entry(x16.shape[1], False, shift)(x16)
 
 
 def coset_intt_lf16(x16: jnp.ndarray, shift: int) -> jnp.ndarray:
-    n = x16.shape[1]
-    ninv = pow(n, -1, R)
-    p = plan(n, True, ninv)
-    out7 = transform7(fmat.pack7(x16), p)
-    sinv = pow(shift, -1, R)
-    out7 = out7.reshape((L7,) + tuple(p.dims))
-    out7 = _scale_digits(out7, scale_plan(n, sinv, tuple(p.dims)))
-    return fmat.unpack7(out7.reshape(L7, n))
+    return _jit_entry(x16.shape[1], True, shift)(x16)

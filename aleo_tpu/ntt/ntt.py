@@ -267,19 +267,31 @@ def _norm_j(x):
     return lf.normalize(x)
 
 
+# -- MatNTT dispatch (int8-MXU path for large TPU transforms) ----------------
+
+
+def _use_matntt(n: int) -> bool:
+    from ..config import MATNTT_MIN_N
+
+    return (
+        jax.default_backend() == "tpu"
+        and n >= MATNTT_MIN_N
+        and n & (n - 1) == 0
+    )
+
+
 # -- public API: limbs-last (n, L) -------------------------------------------
 
 
 def ntt(x: jnp.ndarray) -> jnp.ndarray:
     """Forward NTT: coefficients -> evaluations over the size-n subgroup.
     x: (n, L) Montgomery limbs, natural order in and out (canonical)."""
-    return _norm_j(_run_lf(x.T, False)).T
+    return _norm_j(ntt_lf(x.T)).T
 
 
 def intt(x: jnp.ndarray) -> jnp.ndarray:
     """Inverse NTT: evaluations -> coefficients (canonical)."""
-    d = domain(x.shape[0])
-    return _scale_norm(_run_lf(x.T, True), d.n_inv_mont[:, None]).T
+    return _norm_j(intt_lf(x.T)).T
 
 
 # -- limbs-first API (prover pipeline; no boundary transposes) ---------------
@@ -287,10 +299,18 @@ def intt(x: jnp.ndarray) -> jnp.ndarray:
 
 def ntt_lf(x: jnp.ndarray) -> jnp.ndarray:
     """Forward NTT on (L, n) limbs-first arrays; lazy in/out."""
+    if _use_matntt(x.shape[1]):
+        from . import matntt
+
+        return matntt.ntt_lf16(x)
     return _run_lf(x, False)
 
 
 def intt_lf(x: jnp.ndarray) -> jnp.ndarray:
+    if _use_matntt(x.shape[1]):
+        from . import matntt
+
+        return matntt.intt_lf16(x)
     d = domain(x.shape[1])
     return _scale_lazy(_run_lf(x, True), d.n_inv_mont[:, None])
 
@@ -338,26 +358,28 @@ def _scale2_lazy(x, s1, s2):
 
 def coset_ntt(x: jnp.ndarray, shift: int) -> jnp.ndarray:
     """Evaluate coefficients on the coset shift*H. x: (n, L), canonical out."""
-    c = coset(x.shape[0], shift)
-    return _norm_j(_run_lf(_scale_lazy(x.T, c.shift_pows.T), False)).T
+    return _norm_j(coset_ntt_lf(x.T, shift)).T
 
 
 def coset_intt(x: jnp.ndarray, shift: int) -> jnp.ndarray:
-    c = coset(x.shape[0], shift)
-    d = domain(x.shape[0])
-    out = _run_lf(x.T, True)
-    return _norm_j(
-        _scale2_lazy(out, d.n_inv_mont[:, None], c.shift_pows_inv.T)
-    ).T
+    return _norm_j(coset_intt_lf(x.T, shift)).T
 
 
 def coset_ntt_lf(x: jnp.ndarray, shift: int) -> jnp.ndarray:
     """Limbs-first (L, n) coset NTT; lazy in/out."""
+    if _use_matntt(x.shape[1]):
+        from . import matntt
+
+        return matntt.coset_ntt_lf16(x, shift)
     c = coset(x.shape[1], shift)
     return _run_lf(_scale_lazy(x, c.shift_pows.T), False)
 
 
 def coset_intt_lf(x: jnp.ndarray, shift: int) -> jnp.ndarray:
+    if _use_matntt(x.shape[1]):
+        from . import matntt
+
+        return matntt.coset_intt_lf16(x, shift)
     c = coset(x.shape[1], shift)
     d = domain(x.shape[1])
     return _scale2_lazy(_run_lf(x, True), d.n_inv_mont[:, None], c.shift_pows_inv.T)

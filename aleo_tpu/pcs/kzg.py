@@ -162,6 +162,71 @@ def commit_lf(srs: Srs, coeffs_lf: jnp.ndarray, c: int | None = None):
         return msm_fast_host(raw, table, c=c)
 
 
+def commit_shifted_lf(srs: Srs, coeffs_lf: jnp.ndarray, shift: int,
+                      c: int | None = None):
+    """Commit to X^shift * p(X) without materializing the zero prefix:
+    an MSM of p's coefficients against SRS points [shift, shift+n).
+
+    The degree-bound commitments (Marlin shifted trick, snark/prover.py)
+    are X^(D-d) * g with D the SRS degree — committing the dense vector
+    costs a degree-D MSM; this is the same group element from an n-point
+    MSM.
+    """
+    from ..fields import fr_lf as flf
+
+    n = coeffs_lf.shape[1]
+    assert shift + n <= srs.max_degree + 1, "shifted polynomial exceeds SRS"
+    if jax.default_backend() != "tpu":
+        from ..reference.msm import msm_pippenger_jac
+
+        ints = [int(v) for v in flf.decode(coeffs_lf)]
+        pts = srs.host_affine()[shift : shift + n]
+        return msm_pippenger_jac(ints, pts, c=8)
+    n_pad = min(1 << max(2, (n - 1).bit_length()), srs.max_degree + 1 - shift)
+    coeffs_lf = pl_lf.pad_to(coeffs_lf, max(n, n_pad))
+    raw = _from_mont_lf_j(coeffs_lf).T
+    m = coeffs_lf.shape[1]
+    table = make_table(G1Points(
+        srs.powers.x[shift : shift + m],
+        srs.powers.y[shift : shift + m],
+        srs.powers.z[shift : shift + m],
+    ))
+    return msm_fast_host(raw, table, c=c)
+
+
+def commit_many_lf(srs: Srs, polys_lf, c: int | None = None, shift: int = 0):
+    """Commit a list of limbs-first polynomials in ONE multi-MSM pipeline.
+
+    All polynomials are padded to a shared power-of-two length and ride the
+    shared-table batched Pippenger (msm.msm_batch_host): one sort + one
+    fused-add bucket stream for the whole round's commitments — the
+    round-4 latency lever for the prover's per-round commit groups.
+
+    shift > 0 commits X^shift * p_i for every polynomial (shared-offset
+    degree-bound commitments) against the sliced SRS.
+    """
+    from ..fields import fr_lf as flf
+    from ..msm.msm import msm_batch_host
+
+    if jax.default_backend() != "tpu":
+        if shift:
+            return [commit_shifted_lf(srs, p, shift, c=c) for p in polys_lf]
+        return [commit_lf(srs, p, c=c) for p in polys_lf]
+    n = max(p.shape[1] for p in polys_lf)
+    assert shift + n <= srs.max_degree + 1
+    n_pad = min(1 << max(2, (n - 1).bit_length()), srs.max_degree + 1 - shift)
+    n_pad = max(n, n_pad)
+    stack = jnp.stack([pl_lf.pad_to(p, n_pad) for p in polys_lf])  # (k, L, n)
+    raw = jax.vmap(flf.from_mont)(stack)
+    raw_ll = jnp.swapaxes(raw, 1, 2)                               # (k, n, L)
+    table = make_table(G1Points(
+        srs.powers.x[shift : shift + n_pad],
+        srs.powers.y[shift : shift + n_pad],
+        srs.powers.z[shift : shift + n_pad],
+    ))
+    return msm_batch_host(raw_ll, table, c=c)
+
+
 def open_at_lf(srs: Srs, coeffs_lf: jnp.ndarray, z_lf: jnp.ndarray, c: int | None = None):
     """Opening proof W = [q(tau)]G, limbs-first. Returns (W host point,
     y (L, 1) Montgomery evaluation)."""

@@ -86,6 +86,23 @@ class Srs:
     g2_tau: tuple               # host G2 affine
     max_degree: int
     _host_pts: list | None = None   # lazy host affine [(x, y) | None]
+    seed: bytes = b"aleo-tpu-srs"   # simulated-setup seed (tau derivation)
+
+    def g2_power(self, s: int):
+        """[tau^s]H in G2 — the degree-bound pairing check's right side.
+
+        A real ceremony ships these per circuit (one per degree bound);
+        this simulated setup re-derives tau from its seed on demand and
+        caches per exponent.
+        """
+        cache = getattr(self, "_g2_pow_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_g2_pow_cache", cache)
+        if s not in cache:
+            tau = int.from_bytes(hashlib.sha512(self.seed).digest(), "little") % R
+            cache[s] = G2.mul(pow(tau, s, R), self.g2_gen)
+        return cache[s]
 
     def host_affine(self) -> list:
         """Host affine copies of the powers (cached; feeds the host MSM
@@ -113,7 +130,7 @@ class Srs:
 
         powers = g1mod.encode_points(host_pts)
         h = G2.generator()
-        return Srs(powers, h, G2.mul(tau, h), max_degree, host_pts)
+        return Srs(powers, h, G2.mul(tau, h), max_degree, host_pts, seed)
 
     @staticmethod
     def load_or_generate(max_degree: int, seed: bytes = b"aleo-tpu-srs") -> "Srs":
@@ -135,6 +152,7 @@ class Srs:
             "g2_tau": _fq2_pt_to_ints(self.g2_tau),
             "max_degree": self.max_degree,
             "host_pts": self._host_pts,
+            "seed": self.seed,
         }
         with open(path, "wb") as f:
             pickle.dump(blob, f)
@@ -152,6 +170,7 @@ class Srs:
             _ints_to_fq2_pt(blob["g2_tau"]),
             blob["max_degree"],
             blob.get("host_pts"),
+            blob.get("seed", b"aleo-tpu-srs"),
         )
 
 

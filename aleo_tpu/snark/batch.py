@@ -74,27 +74,30 @@ def _const_b(vals: List[int], n: int = 1) -> jnp.ndarray:
     return jnp.broadcast_to(enc.T[:, :, None], (len(vals), lf.L, n))
 
 
-def _commit_batch(srs, stack, c=None):
-    """stack (k, L, n) -> k host affine points (shared-table multi-MSM)."""
+def _commit_batch(srs, stack, c=None, shift=0):
+    """stack (k, L, n) -> k host affine points (shared-table multi-MSM).
+
+    shift > 0 commits X^shift * p for every row against the sliced SRS
+    (shared-offset degree-bound commitments, see kzg.commit_shifted_lf)."""
     k, _, n = stack.shape
-    assert n <= srs.max_degree + 1
+    assert shift + n <= srs.max_degree + 1
     if jax.default_backend() != "tpu":
         from ..reference.msm import msm_pippenger_jac
 
-        pts = srs.host_affine()[:n]
+        pts = srs.host_affine()[shift : shift + n]
         return [
             msm_pippenger_jac([int(v) for v in lf.decode(stack[p])], pts, c=8)
             for p in range(k)
         ]
-    n_pad = min(1 << max(2, (n - 1).bit_length()), srs.max_degree + 1)
+    n_pad = min(1 << max(2, (n - 1).bit_length()), srs.max_degree + 1 - shift)
     stack = _pad_b(stack, max(n, n_pad))
     raw = jax.vmap(lf.from_mont)(stack)            # (k, L, n)
     raw_ll = jnp.swapaxes(raw, 1, 2)               # (k, n, L)
     table = msm_mod.make_table(
         msm_mod.G1Points(
-            srs.powers.x[: stack.shape[2]],
-            srs.powers.y[: stack.shape[2]],
-            srs.powers.z[: stack.shape[2]],
+            srs.powers.x[shift : shift + stack.shape[2]],
+            srs.powers.y[shift : shift + stack.shape[2]],
+            srs.powers.z[shift : shift + stack.shape[2]],
         )
     )
     return msm_mod.msm_batch_host(raw_ll, table, c=c)
@@ -205,12 +208,9 @@ def prove_batch(index: Index, cs_list: List[ConstraintSystem], rng=None) -> List
     g1_poly = rem[:, :, 1:]
 
     D = srs.max_degree
-    g1_shift = jnp.concatenate(
-        [jnp.zeros((k, lf.L, D - (n - 2)), jnp.uint32), g1_poly], axis=2
-    )
-    for name, stack in (("t", t_poly), ("g1", g1_poly), ("h1", h1_poly),
-                        ("g1_shift", g1_shift)):
+    for name, stack in (("t", t_poly), ("g1", g1_poly), ("h1", h1_poly)):
         cms[name] = _commit_batch(srs, stack)
+    cms["g1_shift"] = _commit_batch(srs, g1_poly, shift=D - (n - 2))
     for p, tr in enumerate(trs):
         for nm in ("t", "g1", "h1", "g1_shift"):
             tr.absorb_point(cms[nm][p])
@@ -264,12 +264,9 @@ def prove_batch(index: Index, cs_list: List[ConstraintSystem], rng=None) -> List
         num = _sub_b(_mul_b(b_c, f_c), a_c)
         h2_evals = _mul_b(num, jnp.broadcast_to(vk_inv, num.shape))
         h2_polys[mn] = _coset_intt_b(h2_evals, SHIFT)[:, :, : m - 1]
-        g2_polys[f"{mn}_shift"] = jnp.concatenate(
-            [jnp.zeros((k, lf.L, D - (m - 2)), jnp.uint32), g2_polys[mn]], axis=2
-        )
         cms[f"g2_{mn}"] = _commit_batch(srs, g2_polys[mn])
         cms[f"h2_{mn}"] = _commit_batch(srs, h2_polys[mn])
-        cms[f"g2_shift_{mn}"] = _commit_batch(srs, g2_polys[f"{mn}_shift"])
+        cms[f"g2_shift_{mn}"] = _commit_batch(srs, g2_polys[mn], shift=D - (m - 2))
 
     for p, tr in enumerate(trs):
         tr.absorb_fr(sigmas["A"][p], sigmas["B"][p], sigmas["C"][p])
@@ -283,7 +280,7 @@ def prove_batch(index: Index, cs_list: List[ConstraintSystem], rng=None) -> List
     beta_stacks = {
         "z": z_poly, "z_a": zm_polys["A"], "z_b": zm_polys["B"],
         "z_c": zm_polys["C"], "h0": h0_poly, "q_x": qx_poly, "s": s_mask,
-        "t": t_poly, "g1": g1_poly, "h1": h1_poly, "g1_shift": g1_shift,
+        "t": t_poly, "g1": g1_poly, "h1": h1_poly,
     }
     gamma_stacks = {}
     for mi in index.matrices:
@@ -294,7 +291,6 @@ def prove_batch(index: Index, cs_list: List[ConstraintSystem], rng=None) -> List
             )
         gamma_stacks[f"g2_{mn}"] = g2_polys[mn]
         gamma_stacks[f"h2_{mn}"] = h2_polys[mn]
-        gamma_stacks[f"g2_shift_{mn}"] = g2_polys[f"{mn}_shift"]
 
     beta_b = _const_b(betas)
     gamma_b = _const_b(gammas)

@@ -67,11 +67,16 @@ from ..utils import profiling as prof
 R = params.R
 SHIFT = params.FR_GENERATOR  # coset shift for quotient computations
 
-BETA_POLYS = ["z", "z_a", "z_b", "z_c", "h0", "q_x", "s", "t", "g1", "h1", "g1_shift"]
+# Polynomials opened at each query point. The degree-bound commitments
+# (g1_shift, g2_shift_*) are NOT opened: their binding to g1/g2 is a direct
+# pairing check e(cm_shift, H) == e(cm, [tau^s]H) (verifier.py), which both
+# removes the degree-D dense polynomials from the opening folds and lets the
+# shifted commitments ride sliced-SRS MSMs (kzg.commit_shifted_lf).
+BETA_POLYS = ["z", "z_a", "z_b", "z_c", "h0", "q_x", "s", "t", "g1", "h1"]
 GAMMA_POLYS = [
     f"{p}_{mname}"
     for mname in "abc"
-    for p in ("row", "col", "cval", "rcp", "g2", "h2", "g2_shift")
+    for p in ("row", "col", "cval", "rcp", "g2", "h2")
 ]
 COMMIT_NAMES = [
     "z", "z_a", "z_b", "z_c", "h0", "q_x", "s", "t", "g1", "h1", "g1_shift",
@@ -269,13 +274,10 @@ def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
     qx_poly = dntt.coset_intt_lf(qx_evals, SHIFT)[:, : n + 2 - ell]
 
     commitments: Dict[str, object] = {}
-    commitments["z"] = kzg.commit_lf(srs, z_poly)
-    commitments["z_a"] = kzg.commit_lf(srs, zm_polys["A"])
-    commitments["z_b"] = kzg.commit_lf(srs, zm_polys["B"])
-    commitments["z_c"] = kzg.commit_lf(srs, zm_polys["C"])
-    commitments["h0"] = kzg.commit_lf(srs, h0_poly)
-    commitments["q_x"] = kzg.commit_lf(srs, qx_poly)
-    commitments["s"] = kzg.commit_lf(srs, s_mask_poly)
+    r1_names = ["z", "z_a", "z_b", "z_c", "h0", "q_x", "s"]
+    r1_polys = [z_poly, zm_polys["A"], zm_polys["B"], zm_polys["C"],
+                h0_poly, qx_poly, s_mask_poly]
+    commitments.update(zip(r1_names, kzg.commit_many_lf(srs, r1_polys)))
 
     # ---- transcript / round 1 ----------------------------------------------
     tr = Transcript("varuna")
@@ -325,15 +327,15 @@ def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
     h1_poly, rem = pl.divide_by_vanishing(q1_poly, n)
     g1_poly = rem[:, 1:]  # rem = sigma_s/n + X g1 (by the masked sum identity)
 
-    # degree-bound commitment for g1 (bound n-2): X^(D-(n-2)) * g1
+    # degree-bound commitment for g1 (bound n-2): commit X^(D-(n-2)) * g1
+    # directly against the shifted SRS slice — an (n-1)-point MSM instead of
+    # a degree-D dense one
     D = srs.max_degree
-    g1_shift_poly = jnp.concatenate(
-        [jnp.zeros((lf.L, D - (n - 2)), jnp.uint32), g1_poly], axis=1
-    )
-    commitments["t"] = kzg.commit_lf(srs, t_poly)
-    commitments["g1"] = kzg.commit_lf(srs, g1_poly)
-    commitments["h1"] = kzg.commit_lf(srs, h1_poly)
-    commitments["g1_shift"] = kzg.commit_lf(srs, g1_shift_poly)
+    commitments.update(zip(
+        ("t", "g1", "h1"),
+        kzg.commit_many_lf(srs, [t_poly, g1_poly, h1_poly]),
+    ))
+    commitments["g1_shift"] = kzg.commit_shifted_lf(srs, g1_poly, D - (n - 2))
     for nm in ("t", "g1", "h1", "g1_shift"):
         tr.absorb_point(commitments[nm])
     beta = tr.challenge()
@@ -375,13 +377,19 @@ def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
         # division is exact; trim so commitments stay within a size-m SRS.
         h2_polys[mn] = dntt.coset_intt_lf(h2_evals, SHIFT)[:, : m - 1]
 
-        commitments[f"g2_{mn}"] = kzg.commit_lf(srs, g2_polys[mn])
-        commitments[f"h2_{mn}"] = kzg.commit_lf(srs, h2_polys[mn])
-        # degree-bound commitment for g2 (bound m-2)
-        g2_polys[f"{mn}_shift"] = jnp.concatenate(
-            [jnp.zeros((lf.L, D - (m - 2)), jnp.uint32), g2_polys[mn]], axis=1
-        )
-        commitments[f"g2_shift_{mn}"] = kzg.commit_lf(srs, g2_polys[f"{mn}_shift"])
+    # one multi-MSM for all six K-side commitments, one more (sliced SRS)
+    # for the three shared-offset degree-bound commitments
+    r3 = kzg.commit_many_lf(
+        srs, [g2_polys[mn] for mn in "abc"] + [h2_polys[mn] for mn in "abc"]
+    )
+    for i, mn in enumerate("abc"):
+        commitments[f"g2_{mn}"] = r3[i]
+        commitments[f"h2_{mn}"] = r3[3 + i]
+    shifts3 = kzg.commit_many_lf(
+        srs, [g2_polys[mn] for mn in "abc"], shift=D - (m - 2)
+    )
+    for i, mn in enumerate("abc"):
+        commitments[f"g2_shift_{mn}"] = shifts3[i]
 
     tr.absorb_fr(sigmas["A"], sigmas["B"], sigmas["C"])
     for mn in "abc":
@@ -391,10 +399,11 @@ def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
     gamma = tr.challenge()
 
     # ---- openings -----------------------------------------------------------
+    # (degree-bound commitments are bound by pairing checks, not openings)
     beta_polys = {
         "z": z_poly, "z_a": zm_polys["A"], "z_b": zm_polys["B"], "z_c": zm_polys["C"],
         "h0": h0_poly, "q_x": qx_poly, "s": s_mask_poly, "t": t_poly,
-        "g1": g1_poly, "h1": h1_poly, "g1_shift": g1_shift_poly,
+        "g1": g1_poly, "h1": h1_poly,
     }
     gamma_polys = {}
     for mi in index.matrices:
@@ -405,31 +414,18 @@ def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
         gamma_polys[f"rcp_{mn}"] = ipolys[f"rcp_{mn}"]
         gamma_polys[f"g2_{mn}"] = g2_polys[mn]
         gamma_polys[f"h2_{mn}"] = h2_polys[mn]
-        gamma_polys[f"g2_shift_{mn}"] = g2_polys[f"{mn}_shift"]
 
     beta_e = lf.const(beta)
     gamma_e = lf.const(gamma)
-    # Shifted-poly evaluations are definitionally point^(D-d) * eval (their
-    # soundness comes from the opening proof, not the prover's arithmetic),
-    # so they are computed on host — evaluating the degree-D dense shifts on
-    # device would be the single largest eval. The rest are batched into ONE
-    # device dispatch + ONE host readback per query point (a ~30x dispatch
-    # reduction; each readback costs a full tunnel round trip).
-    eval_beta_names = [k for k in BETA_POLYS if not k.endswith("_shift")]
-    eval_gamma_names = [k for k in GAMMA_POLYS if "shift" not in k]
+    # Evaluations are batched into ONE device dispatch + ONE host readback
+    # per query point (a ~30x dispatch reduction; each readback costs a full
+    # tunnel round trip).
     evals_beta = dict(zip(
-        eval_beta_names,
-        _eval_many([beta_polys[k] for k in eval_beta_names], beta_e),
+        BETA_POLYS, _eval_many([beta_polys[k] for k in BETA_POLYS], beta_e)
     ))
     evals_gamma = dict(zip(
-        eval_gamma_names,
-        _eval_many([gamma_polys[k] for k in eval_gamma_names], gamma_e),
+        GAMMA_POLYS, _eval_many([gamma_polys[k] for k in GAMMA_POLYS], gamma_e)
     ))
-    evals_beta["g1_shift"] = pow(beta, D - (n - 2), R) * evals_beta["g1"] % R
-    for mn in "abc":
-        evals_gamma[f"g2_shift_{mn}"] = (
-            pow(gamma, D - (m - 2), R) * evals_gamma[f"g2_{mn}"] % R
-        )
 
     tr.absorb_fr(*[evals_beta[k] for k in BETA_POLYS])
     tr.absorb_fr(*[evals_gamma[k] for k in GAMMA_POLYS])

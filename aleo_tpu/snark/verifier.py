@@ -107,13 +107,26 @@ def verify(vk: VerifyingKey, public_inputs: List[int], proof: Proof,
     if (eta_a * sig_a + eta_b * sig_b + eta_c * sig_c - eb["t"]) % R != 0:
         return fail("t-sigma consistency")
 
-    # ---- degree-bound checks (shifted commitments) -------------------------
+    # ---- degree-bound checks (shifted commitments, pairing form) -----------
+    # cm_shift must equal tau^s * cm as group elements:
+    #   e(cm_shift, H) == e(cm, [tau^s]H).
+    # A prover can only produce such a cm_shift from the SRS when
+    # deg(g) + s <= D, i.e. deg(g) <= D - s — the required degree bound
+    # (standard KZG power-span argument; replaces opening the degree-D
+    # dense shifted polynomial).
+    from ..reference.curve import G1 as G1h, pairing_check
+
     D = vk.srs.max_degree
-    if eb["g1_shift"] != pow(beta, D - (n - 2), R) * eb["g1"] % R:
-        return fail("g1 degree bound")
-    for mn in "abc":
-        if eg[f"g2_shift_{mn}"] != pow(gamma, D - (m - 2), R) * eg[f"g2_{mn}"] % R:
-            return fail(f"g2_{mn} degree bound")
+    bound_checks = [("g1_shift", cm["g1"], D - (n - 2))] + [
+        (f"g2_shift_{mn}", cm[f"g2_{mn}"], D - (m - 2)) for mn in "abc"
+    ]
+    for shift_name, base_cm, s in bound_checks:
+        ok = pairing_check([
+            (cm[shift_name], vk.srs.g2_gen),
+            (G1h.neg(base_cm), vk.srs.g2_power(s)),
+        ])
+        if not ok:
+            return fail(f"degree bound {shift_name}")
 
     # ---- AHP checks at gamma (per matrix) -----------------------------------
     vk_gamma = (pow(gamma, m, R) - 1) % R

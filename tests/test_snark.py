@@ -73,24 +73,44 @@ def test_snark_proofs_are_hiding(srs):
 
 
 def test_snark_rejects_degree_violation(srs):
-    """A g1 of illegal degree must fail the shifted-commitment check."""
-    import random
+    """Degree bounds are enforced by the pairing check
+    e(cm_shift, H) == e(cm, [tau^s]H): a g1_shift commitment that is not
+    the tau^s-multiple of cm_g1 (equivalently, a g1 of illegal degree, for
+    which no valid cm_shift is computable from the SRS) must fail."""
+    from aleo_tpu.reference.curve import G1
 
     cs = cubic_circuit(3)
     index = index_r1cs(cs, srs=srs)
-    rng = random.Random(42)
-    proof = prove(index, cs, rng=rng)
+    proof = prove(index, cs)
     vk = VerifyingKey.from_index(index)
-    # forge: pretend g1 evaluates to something else while keeping the
-    # lincheck identity intact by shifting h1's claimed value — the shifted
-    # eval check must catch the mismatch.
-    tr_beta_g1 = proof.evals_beta["g1"]
-    proof.evals_beta["g1_shift"] = (proof.evals_beta["g1_shift"] + 1) % R
+    good = proof.commitments["g1_shift"]
+    proof.commitments["g1_shift"] = G1.add(good, G1.generator())
     assert not verify(vk, cs.public_inputs(), proof)
-    proof.evals_beta["g1_shift"] = (
-        proof.evals_beta["g1_shift"] - 1
-    ) % R  # restore
-    assert proof.evals_beta["g1"] == tr_beta_g1
+    proof.commitments["g1_shift"] = good
+    assert verify(vk, cs.public_inputs(), proof)
+    # same for a K-side bound
+    good2 = proof.commitments["g2_shift_b"]
+    proof.commitments["g2_shift_b"] = G1.add(good2, G1.generator())
+    assert not verify(vk, cs.public_inputs(), proof)
+    proof.commitments["g2_shift_b"] = good2
+    assert verify(vk, cs.public_inputs(), proof)
+
+
+def test_commit_shifted_matches_dense(srs):
+    """commit_shifted_lf(p, s) must equal the commitment of X^s * p."""
+    import jax.numpy as jnp
+    from aleo_tpu.fields import fr_lf as lf
+    from aleo_tpu.pcs import kzg
+
+    coeffs = [3, 1, 4, 1, 5, 9, 2, 6]
+    p = lf.encode(coeffs)
+    s = 5
+    dense = jnp.concatenate(
+        [jnp.zeros((lf.L, s), jnp.uint32), p], axis=1
+    )
+    assert kzg.commit_shifted_lf(srs, p, s) == kzg.commit_lf(srs, dense)
+    many = kzg.commit_many_lf(srs, [p, p], shift=s)
+    assert many[0] == many[1] == kzg.commit_lf(srs, dense)
 
 
 def test_proof_serialization_roundtrip(srs):
