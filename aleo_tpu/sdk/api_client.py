@@ -145,6 +145,12 @@ class LocalAPIClient:
     def find_transition_id(self, serial_number: int) -> Optional[str]:
         return self.ledger.spent_serials.get(serial_number)
 
+    def _records_in_range(self, start: int, end: int) -> List[RecordCiphertext]:
+        return self.ledger.records_in_range(start, end)
+
+    def _scan_registry(self):
+        return self.ledger.registry
+
     # -- record scanning (blocking.rs:181-325) -------------------------------
 
     def scan(
@@ -157,7 +163,7 @@ class LocalAPIClient:
         """All record ciphertexts owned by the view key in a height range."""
         if end_height > self.latest_height() + 1:
             end_height = self.latest_height() + 1
-        cts = self.ledger.records_in_range(start_height, end_height)
+        cts = self._records_in_range(start_height, end_height)
         shared = _batch_shared(view_key, cts)
         out = []
         for ct, sh in zip(cts, shared):
@@ -190,14 +196,14 @@ class LocalAPIClient:
             lo = max(start_height, hi - step)
             cts = [
                 ct
-                for ct in self.ledger.records_in_range(lo, hi)
+                for ct in self._records_in_range(lo, hi)
                 if ct.program == "credits.aleo" and ct.type_ == "credits"
             ]
             shared_pts = _batch_shared(view_key, cts)
             for ct, sh in zip(cts, shared_pts):
                 if not ct.is_owner(view_key, sh):
                     continue
-                rec = ct.decrypt(view_key, self.ledger.registry, sh)
+                rec = ct.decrypt(view_key, self._scan_registry(), sh)
                 serial = rec.serial_number(sk)
                 if self.find_transition_id(serial) is not None:
                     continue  # spent
@@ -216,17 +222,37 @@ class LocalAPIClient:
         return found
 
 
-class HttpAPIClient:
-    """urllib twin of the blocking `ureq` client for a real REST endpoint."""
+class HttpAPIClient(LocalAPIClient):
+    """urllib twin of the blocking `ureq` client against a REST node/dev
+    server exposing the same paths (`DevServer.handle_node_get`). Full
+    19-endpoint surface: chain state, blocks, transactions, programs/
+    mappings, search, state paths, broadcast — plus the inherited view-key
+    scan and `get_unspent_records`, which run client-side over HTTP-fetched
+    blocks (`sdk/src/aleo_network_client.ts:270-427` behavior)."""
 
     def __init__(self, base_url: str, network: str = "testnet3"):
         self.base_url = base_url.rstrip("/")
         self.network = network
+        self._registry_cache = None
+
+    @staticmethod
+    def _read(resp_or_err):
+        try:
+            body = json.loads(resp_or_err.read())
+        except Exception:
+            body = None
+        if isinstance(body, dict) and "error" in body:
+            raise ApiError(body["error"])
+        return body
 
     def _get(self, path: str):
         url = f"{self.base_url}/{self.network}/{path}"
-        with urllib.request.urlopen(url, timeout=30) as resp:
-            return json.loads(resp.read())
+        try:
+            with urllib.request.urlopen(url, timeout=60) as resp:
+                return self._read(resp)
+        except urllib.error.HTTPError as e:
+            self._read(e)
+            raise ApiError(f"GET {path}: HTTP {e.code}") from e
 
     def _post(self, path: str, body) -> object:
         url = f"{self.base_url}/{self.network}/{path}"
@@ -234,23 +260,115 @@ class HttpAPIClient:
             url, data=json.dumps(body).encode(),
             headers={"Content-Type": "application/json"},
         )
-        with urllib.request.urlopen(req, timeout=600) as resp:
-            return json.loads(resp.read())
+        try:
+            with urllib.request.urlopen(req, timeout=600) as resp:
+                return self._read(resp)
+        except urllib.error.HTTPError as e:
+            self._read(e)
+            raise ApiError(f"POST {path}: HTTP {e.code}") from e
+
+    # -- chain state ---------------------------------------------------------
 
     def latest_height(self) -> int:
-        return self._get("latest/height")
+        return int(self._get("latest/height"))
 
     def latest_hash(self) -> str:
         return self._get("latest/hash")
 
-    def get_block(self, height: int):
-        return self._get(f"block/{height}")
+    def latest_block(self) -> Block:
+        from . import wire
+
+        return wire.block_from_json(self._get("latest/block"))
+
+    def get_block(self, height: int) -> Block:
+        from . import wire
+
+        return wire.block_from_json(self._get(f"block/{height}"))
+
+    def get_blocks(self, start: int, end: int) -> List[Block]:
+        from . import wire
+
+        if end - start > MAX_BLOCK_RANGE:
+            raise ApiError(
+                f"cannot request more than {MAX_BLOCK_RANGE} blocks per call"
+            )
+        return [
+            wire.block_from_json(b)
+            for b in self._get(f"blocks?start={start}&end={end}")
+        ]
+
+    def get_state_root(self) -> str:
+        return self._get("latest/stateRoot")
+
+    def get_state_path(self, commitment: int):
+        d = self._get(f"statePath/{commitment}")
+        return int(d["root"]), [(int(s), bool(side)) for s, side in d["path"]]
+
+    # -- transactions --------------------------------------------------------
+
+    def get_transaction(self, tx_id: str) -> Transaction:
+        from . import wire
+
+        return wire.transaction_from_json(self._get(f"transaction/{tx_id}"))
+
+    def get_memory_pool_transactions(self) -> List[Transaction]:
+        from . import wire
+
+        return [
+            wire.transaction_from_json(t)
+            for t in self._get("memoryPool/transactions")
+        ]
+
+    def transaction_broadcast(self, tx) -> str:
+        from . import wire
+
+        body = tx if isinstance(tx, dict) else wire.transaction_to_json(tx)
+        return self._post("transaction/broadcast", body)
+
+    # -- programs ------------------------------------------------------------
 
     def get_program(self, program_id: str) -> str:
         return self._get(f"program/{program_id}")
 
-    def get_mapping_value(self, program_id: str, mapping: str, key):
-        return self._get(f"program/{program_id}/mapping/{mapping}/{key}")
+    def get_program_mappings(self, program_id: str) -> List[str]:
+        return list(self._get(f"program/{program_id}/mappings"))
 
-    def transaction_broadcast(self, tx_json) -> str:
-        return self._post("transaction/broadcast", tx_json)
+    def get_mapping_value(self, program_id: str, mapping: str, key):
+        key_f = key if isinstance(key, int) else acct.address_to_field(key)
+        v = self._get(f"program/{program_id}/mapping/{mapping}/{key_f}")
+        return None if v is None else int(v)
+
+    # -- search --------------------------------------------------------------
+
+    def find_block_hash(self, tx_id: str) -> Optional[str]:
+        return self._get(f"find/blockHash/{tx_id}")
+
+    def find_transition_id(self, serial_number: int) -> Optional[str]:
+        return self._get(f"find/transitionID/{serial_number}")
+
+    # -- scan plumbing (client-side over fetched blocks) ---------------------
+
+    def _records_in_range(self, start: int, end: int) -> List[RecordCiphertext]:
+        out: List[RecordCiphertext] = []
+        h = start
+        while h < end:
+            hi = min(end, h + MAX_BLOCK_RANGE)
+            for blk in self.get_blocks(h, hi):
+                for tx in blk.transactions:
+                    for tr in tx.transitions():
+                        out.extend(tr.output_ciphertexts)
+            h = hi
+        return out
+
+    def _scan_registry(self):
+        """Program registry for record decryption, built from fetched
+        sources (credits.aleo plus any program seen in scanned records)."""
+        from ..program.parser import parse_program
+        from .ledger import CREDITS_PROGRAM
+        from ..program.interpreter import Registry
+
+        if self._registry_cache is None:
+            reg = Registry()
+            reg.add(parse_program(CREDITS_PROGRAM))
+            self._registry_cache = reg
+        return self._registry_cache

@@ -138,6 +138,75 @@ class DevServer:
             prove=self.prove,
         )
 
+    # -- node REST surface (GET; blocking.rs:23-178 paths) -------------------
+
+    def handle_node_get(self, path: str):
+        """Serve the node REST GET endpoints over the backing API client so
+        `HttpAPIClient` reaches full 19-endpoint parity against this server
+        (the reference's node surface, `/root/reference/rust/src/api/
+        blocking.rs:23-356`; paths mirror `{network}/...`)."""
+        from urllib.parse import urlparse, parse_qs
+
+        from . import wire
+
+        u = urlparse(path)
+        parts = [p for p in u.path.split("/") if p]
+        if not parts:
+            return False, None
+        # strip the network prefix ("testnet3")
+        if parts[0] == getattr(self.api_client, "network", "testnet3"):
+            parts = parts[1:]
+        api = self.api_client
+        if parts == ["latest", "height"]:
+            return True, api.latest_height()
+        if parts == ["latest", "hash"]:
+            return True, api.latest_hash()
+        if parts == ["latest", "block"]:
+            return True, wire.block_to_json(api.latest_block())
+        if parts == ["latest", "stateRoot"]:
+            return True, api.get_state_root()
+        if len(parts) == 2 and parts[0] == "block":
+            return True, wire.block_to_json(api.get_block(int(parts[1])))
+        if parts == ["blocks"]:
+            q = parse_qs(u.query)
+            start = int(q["start"][0])
+            end = int(q["end"][0])
+            return True, [wire.block_to_json(b) for b in api.get_blocks(start, end)]
+        if len(parts) == 2 and parts[0] == "transaction":
+            return True, wire.transaction_to_json(api.get_transaction(parts[1]))
+        if parts == ["memoryPool", "transactions"]:
+            return True, [
+                wire.transaction_to_json(t)
+                for t in api.get_memory_pool_transactions()
+            ]
+        if len(parts) == 2 and parts[0] == "statePath":
+            root, mpath = api.get_state_path(int(parts[1]))
+            return True, {
+                "root": str(root),
+                "path": [[str(s), int(side)] for (s, side) in mpath],
+            }
+        if len(parts) >= 2 and parts[0] == "program":
+            if len(parts) == 2:
+                return True, api.get_program(parts[1])
+            if parts[2] == "mappings":
+                return True, api.get_program_mappings(parts[1])
+            if parts[2] == "import_resolution":
+                return True, api.get_program_imports(parts[1])
+            if parts[2] == "mapping" and len(parts) == 5:
+                v = api.get_mapping_value(parts[1], parts[3], int(parts[4]))
+                return True, None if v is None else str(v)
+        if len(parts) == 3 and parts[:2] == ["find", "blockHash"]:
+            return True, api.find_block_hash(parts[2])
+        if len(parts) == 3 and parts[:2] == ["find", "transitionID"]:
+            return True, api.find_transition_id(int(parts[2]))
+        return False, None
+
+    def handle_broadcast(self, body) -> str:
+        from . import wire
+
+        tx = wire.transaction_from_json(body)
+        return self.api_client.transaction_broadcast(tx)
+
     # -- server lifecycle ----------------------------------------------------
 
     def start(self, background: bool = True):
@@ -159,6 +228,14 @@ class DevServer:
             def do_GET(self):
                 if self.path.rstrip("/") in ("/health", ""):
                     self._reply(200, "ok")
+                    return
+                try:
+                    handled, payload = server.handle_node_get(self.path)
+                except Exception as e:
+                    self._reply(400, {"error": str(e)})
+                    return
+                if handled:
+                    self._reply(200, payload)
                 else:
                     self._reply(404, {"error": "not found"})
 
@@ -176,6 +253,8 @@ class DevServer:
                         self._reply(200, server.handle_execute(body))
                     elif route == "transfer":
                         self._reply(200, server.handle_transfer(body))
+                    elif route == "broadcast":
+                        self._reply(200, server.handle_broadcast(body))
                     else:
                         self._reply(404, {"error": f"unknown route {route}"})
                 except Exception as e:  # typed error surface (error.rs)

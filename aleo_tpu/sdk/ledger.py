@@ -160,6 +160,8 @@ class Ledger:
     def _validate(self, tx: Transaction):
         if tx.id in self.transactions:
             raise LedgerError("duplicate transaction id")
+        if tx.kind == "execute" and not tx.transitions():
+            raise LedgerError("execute transaction carries no transitions")
         if tx.kind == "deploy":
             d = tx.deployment
             if d.program_id in self.program_sources:
