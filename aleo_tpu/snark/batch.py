@@ -103,19 +103,39 @@ def _commit_batch(srs, stack, c=None, shift=0):
     return msm_mod.msm_batch_host(raw_ll, table, c=c)
 
 
-def prove_batch(index: Index, cs_list: List[ConstraintSystem], rng=None) -> List[Proof]:
-    """k proofs under one index; returns one Proof per constraint system."""
+def prove_batch(index: Index, cs_list: List[ConstraintSystem], rng=None,
+                mesh=None) -> List[Proof]:
+    """k proofs under one index; returns one Proof per constraint system.
+
+    `mesh` (a jax.sharding.Mesh with a "dp" axis) shards the leading k axis
+    of every batched device array across devices — the data-parallel batch
+    prover of BASELINE config 5. GSPMD propagates the dp sharding through
+    the vmapped stages; the shared-table multi-MSM's global sort gathers
+    across shards (its keys carry the proof index, so results are
+    bit-identical to the unsharded run).
+    """
     k = len(cs_list)
     assert k >= 1
     n, m, ell = index.n, index.m, index.ell
     srs = index.srs
     if rng is None:
         rng = _random.SystemRandom()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        assert k % mesh.shape["dp"] == 0, "k must divide over the dp axis"
+
+        def _shard(a):
+            spec = _P(*(("dp",) + (None,) * (a.ndim - 1)))
+            return jax.device_put(a, NamedSharding(mesh, spec))
+    else:
+        def _shard(a):
+            return a
 
     # ---- batched witness layout --------------------------------------------
-    z_evals = jnp.stack(
+    z_evals = _shard(jnp.stack(
         [lf.encode(list(z_evaluations(index, cs))) for cs in cs_list]
-    )                                                   # (k, L, n)
+    ))                                                  # (k, L, n)
     spmv_b = {
         mi.name: jax.vmap(lambda x, t=mi.by_row: spmv_lf(t, x))(z_evals)
         for mi in index.matrices
@@ -133,7 +153,7 @@ def prove_batch(index: Index, cs_list: List[ConstraintSystem], rng=None) -> List
     sigma_s = [
         n * (sc[0] + sc[n] + sc[2 * n]) % R for sc in s_coeff_list
     ]
-    s_mask = jnp.stack([lf.encode(sc) for sc in s_coeff_list])
+    s_mask = _shard(jnp.stack([lf.encode(sc) for sc in s_coeff_list]))
 
     # ---- rowcheck + input quotients ----------------------------------------
     za_c = _coset_ntt_b(_pad_b(zm_polys["A"], 4 * n), SHIFT)
@@ -144,7 +164,7 @@ def prove_batch(index: Index, cs_list: List[ConstraintSystem], rng=None) -> List
     h0_poly = _coset_intt_b(h0_evals, SHIFT)[:, :, : n + 3]
 
     x_pubs = [cs.public_inputs() + [0] * (ell - cs.num_inputs) for cs in cs_list]
-    xhat = jnp.stack([lf.encode(x) for x in x_pubs])
+    xhat = _shard(jnp.stack([lf.encode(x) for x in x_pubs]))
     xhat_poly = _intt_b(xhat) if ell > 1 else xhat
     z_c = _coset_ntt_b(_pad_b(z_poly, 2 * n), SHIFT)
     xhat_c = _coset_ntt_b(_pad_b(xhat_poly, 2 * n), SHIFT)
