@@ -11,10 +11,12 @@ Headline metric: G1 MSM points/sec at 2^16 on the PRODUCTION path
 the reference repo publishes no numbers).
 
 Secondary metrics (stderr + BENCH_DETAIL json line on stderr):
-  - NTT 2^16 and 2^20 butterflies/s (limbs-first core)
-  - coset NTT 2^20 ms
+  - NTT 2^16 / 2^20 butterflies/s with a CPU anchor (vs_baseline), and the
+    BASELINE config-4 single-chip sizes: 2^22 coset NTT, 2^24 MSM (chunked
+    at 2^22 per pipeline pass; chunk count logged)
   - simple_token transfer: Varuna prove seconds/proof + proofs/s
     (BASELINE.json config 3; keys/indexing excluded as deploy-time work)
+  - batch prover: k=4 transfers in one pipeline, proofs/s (config 5)
 """
 
 import json
@@ -34,8 +36,13 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 import jax.numpy as jnp
+import numpy as np
 
-CPU_ANCHOR_MSM_PPS = 5.0e5  # see BASELINE.md: CPU anchor for 2^16 MSM
+CPU_ANCHOR_MSM_PPS = 5.0e5  # BASELINE.md: CPU anchor for 2^16 MSM
+# CPU anchor for the NTT: multicore arkworks/snarkVM-class radix-2 FFT over
+# Fr runs a 2^20 transform in ~150 ms on a 16-core box -> ~7e7 butterflies/s
+# (order-of-magnitude figure; see BASELINE.md "NTT anchor").
+CPU_ANCHOR_NTT_BFLY = 7.0e7
 
 MSM_N = 1 << 16
 
@@ -44,25 +51,34 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_msm(detail):
-    from aleo_tpu import params
+def _tiled_points(n):
+    """n points as 64 distinct host points tiled (table-build cost only)."""
     from aleo_tpu.curves import g1
-    from aleo_tpu.fields.modring import FR_RING, ints_to_limbs
-    from aleo_tpu.msm import msm as msm_mod
     from aleo_tpu.reference.curve import G1
 
-    rng = random.Random(0xBE7C)
-    log("building MSM inputs...")
     base = G1.generator()
     host_pts = []
     cur = base
     for _ in range(64):
         host_pts.append(cur)
         cur = G1.add(cur, G1.add(cur, base))
-    pts = g1.encode_points(host_pts * (MSM_N // len(host_pts)))
-    scalars = jnp.asarray(
-        ints_to_limbs([rng.randrange(params.R) for _ in range(MSM_N)], FR_RING.L)
-    )
+    return g1.encode_points(host_pts * (n // 64))
+
+
+def _rand_scalars(n, seed):
+    """(n, 16) uint32 16-bit-limb scalars < 2^252 (< r), numpy-vectorized."""
+    rng = np.random.default_rng(seed)
+    limbs = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
+    limbs[:, 15] &= 0x0FFF
+    return jnp.asarray(limbs)
+
+
+def bench_msm(detail):
+    from aleo_tpu.msm import msm as msm_mod
+
+    log("building MSM inputs...")
+    pts = _tiled_points(MSM_N)
+    scalars = _rand_scalars(MSM_N, 0xBE7C)
     table = msm_mod.make_table(pts)
     c = msm_mod.auto_c(MSM_N)
 
@@ -80,53 +96,102 @@ def bench_msm(detail):
     log(f"MSM 2^16 (production path, c={c}): {msm_s*1e3:.1f} ms -> {msm_pps:,.0f} points/s")
     detail["msm_2e16_ms"] = round(msm_s * 1e3, 2)
     detail["msm_compile_s"] = round(compile_s, 1)
+
+    # batched multi-MSM throughput (shared table, k=4 — the per-round
+    # commit-group shape of the prover)
+    k = 4
+    sc_b = jnp.stack([_rand_scalars(MSM_N, 100 + i) for i in range(k)])
+    t0 = time.time()
+    outs = msm_mod.msm_batch_host(sc_b, table, c=c)
+    log(f"batch MSM compile+first: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    for _ in range(iters):
+        outs = msm_mod.msm_batch_host(sc_b, table, c=c)
+    batch_s = (time.time() - t0) / iters
+    detail["msm_batch4_2e16_ms"] = round(batch_s * 1e3, 2)
+    detail["msm_batch4_pts_per_s"] = round(k * MSM_N / batch_s, 1)
+    log(f"batch MSM k=4 x 2^16: {batch_s*1e3:.1f} ms -> "
+        f"{k*MSM_N/batch_s:,.0f} points/s amortized")
     return msm_pps
+
+
+def bench_msm_2e24(detail):
+    """BASELINE config 4 single-chip: 2^24 variable-base MSM, chunked at
+    2^22 points per bucket pipeline (table + sort memory bound; partial
+    window sums combined on host)."""
+    from aleo_tpu.msm import msm as msm_mod
+    from aleo_tpu.reference.curve import G1
+
+    CHUNK = 1 << 22
+    n_chunks = (1 << 24) // CHUNK
+    log(f"MSM 2^24: {n_chunks} chunks of 2^22 (chunked: table+sort memory)")
+    pts = _tiled_points(CHUNK)
+    table = msm_mod.make_table(pts)
+    c = msm_mod.auto_c(CHUNK)
+    scalars = [_rand_scalars(CHUNK, 7000 + i) for i in range(n_chunks)]
+    # compile once
+    p0 = msm_mod.msm_fast_host(scalars[0], table, c=c)
+    t0 = time.time()
+    acc = None
+    for sc in scalars:
+        part = msm_mod.msm_fast_host(sc, table, c=c)
+        acc = G1.add(acc, part)
+    dt = time.time() - t0
+    detail["msm_2e24_s"] = round(dt, 2)
+    detail["msm_2e24_pts_per_s"] = round((1 << 24) / dt, 1)
+    log(f"MSM 2^24 (variable-base, chunked x{n_chunks}): {dt:.2f} s -> "
+        f"{(1<<24)/dt:,.0f} points/s")
 
 
 def bench_ntt(detail):
     from aleo_tpu import params
-    from aleo_tpu.fields.modring import FR_RING
+    from aleo_tpu.fields import fr_lf as lf
     from aleo_tpu.ntt import ntt as dntt
-    import numpy as np
 
     rng = np.random.default_rng(0xA1E0)
-    for logn in (16, 20):
+    for logn in (16, 20, 22):
         n = 1 << logn
-        data = FR_RING.encode(
-            [int.from_bytes(rng.bytes(31), "little") % params.R for _ in range(n)]
+        data = lf.encode(
+            [int.from_bytes(rng.bytes(31), "little") % params.R
+             for _ in range(1 << 12)] * (n >> 12)
         )
         t0 = time.time()
-        o = dntt.ntt(data)
+        o = dntt.ntt_lf(data)
         jax.block_until_ready(o)
         log(f"NTT 2^{logn} compile+first: {time.time()-t0:.1f}s")
-        # chain iterations and force one full materialization at the end so
-        # async-dispatch queues can't underreport (axon block_until_ready
-        # returns before tunnel readback completes)
-        iters = 10
+        iters = 5 if logn >= 22 else 10
         t0 = time.time()
         for _ in range(iters):
-            o = dntt.ntt(o)
-        np.asarray(o)
+            o = dntt.ntt_lf(o)
+        np.asarray(o)  # force full readback: tunnel-safe timing
         dt = (time.time() - t0) / iters
         bf = n // 2 * logn
-        log(f"NTT 2^{logn}: {dt*1e3:.2f} ms -> {bf/dt/1e6:,.1f} M butterflies/s")
+        log(f"NTT 2^{logn}: {dt*1e3:.2f} ms -> {bf/dt/1e6:,.1f} M butterflies/s "
+            f"(vs CPU anchor {bf/dt/CPU_ANCHOR_NTT_BFLY:.2f}x)")
         detail[f"ntt_2e{logn}_ms"] = round(dt * 1e3, 2)
         detail[f"ntt_2e{logn}_mbfly_s"] = round(bf / dt / 1e6, 1)
-        if logn == 20:
-            t0 = time.time()
-            oc = dntt.coset_ntt(data, params.FR_GENERATOR)
+        detail[f"ntt_2e{logn}_vs_baseline"] = round(bf / dt / CPU_ANCHOR_NTT_BFLY, 2)
+        if logn >= 20:
+            oc = dntt.coset_ntt_lf(data, params.FR_GENERATOR)
             jax.block_until_ready(oc)
             t0 = time.time()
             for _ in range(iters):
-                oc = dntt.coset_ntt(oc, params.FR_GENERATOR)
+                oc = dntt.coset_ntt_lf(data, params.FR_GENERATOR)
             np.asarray(oc)
-            detail["coset_ntt_2e20_ms"] = round((time.time() - t0) / iters * 1e3, 2)
-            log(f"coset NTT 2^20: {detail['coset_ntt_2e20_ms']} ms")
+            detail[f"coset_ntt_2e{logn}_ms"] = round((time.time() - t0) / iters * 1e3, 2)
+            log(f"coset NTT 2^{logn}: {detail[f'coset_ntt_2e{logn}_ms']} ms")
+
+
+def _transfer_inputs(amount, sender, receiver):
+    from aleo_tpu.program.values import Record, Value
+
+    rec = Record("token.aleo", "token", owner=sender, gates=0,
+                 entries={"amount": Value("u64", 500)}, nonce=7)
+    return [rec, Value("address", receiver), Value("u64", amount)]
 
 
 def bench_proof(detail):
     from aleo_tpu.program.examples import load_example
-    from aleo_tpu.program.values import Record, Value
     from aleo_tpu.snark import pipeline
 
     log("synthesizing simple_token transfer keys (deploy-time)...")
@@ -137,13 +202,10 @@ def bench_proof(detail):
         f"constraints={keys.constraint_counts['total']}")
     sender, receiver = 123456789, 987654321
 
-    def mk_inputs(amount):
-        rec = Record("token.aleo", "token", owner=sender, gates=0,
-                     entries={"amount": Value("u64", 500)}, nonce=7)
-        return [rec, Value("address", receiver), Value("u64", amount)]
-
     t0 = time.time()
-    ep = pipeline.prove_execution(keys, reg, mk_inputs(120), caller=sender)
+    ep = pipeline.prove_execution(
+        keys, reg, _transfer_inputs(120, sender, receiver), caller=sender
+    )
     first_s = time.time() - t0
     log(f"first proof (incl. compile): {first_s:.1f}s")
     ok = pipeline.verify_execution(keys, ep)
@@ -153,12 +215,51 @@ def bench_proof(detail):
     iters = 2
     t0 = time.time()
     for i in range(iters):
-        ep = pipeline.prove_execution(keys, reg, mk_inputs(100 + i), caller=sender)
+        ep = pipeline.prove_execution(
+            keys, reg, _transfer_inputs(100 + i, sender, receiver), caller=sender
+        )
     proof_s = (time.time() - t0) / iters
     log(f"simple_token transfer proof: {proof_s:.2f} s -> {1/proof_s:.3f} proofs/s")
     detail["transfer_proof_s"] = round(proof_s, 2)
     detail["transfer_proofs_per_s"] = round(1 / proof_s, 4)
     detail["transfer_constraints"] = keys.constraint_counts["total"]
+    return keys, reg, sender, receiver
+
+
+def bench_batch_proof(detail, keys, reg, sender, receiver):
+    """BASELINE config 5: k=4 same-circuit transfers in one vmapped
+    pipeline + shared-table multi-MSM commits."""
+    from aleo_tpu.program.synthesizer import synthesize_execution
+    from aleo_tpu.snark.batch import prove_batch
+    from aleo_tpu.snark.verifier import verify
+
+    k = 4
+    cs_list = [
+        synthesize_execution(
+            reg, "token.aleo", "transfer",
+            _transfer_inputs(100 + i, sender, receiver), caller=sender,
+        ).cs
+        for i in range(k)
+    ]
+    t0 = time.time()
+    proofs = prove_batch(keys.index, cs_list)
+    first = time.time() - t0
+    log(f"batch prove k={k} first (incl. compile): {first:.1f}s")
+    oks = [
+        verify(keys.vk, cs.public_inputs(), pf)
+        for cs, pf in zip(cs_list, proofs)
+    ]
+    log(f"batch verify: {oks}")
+    if not all(oks):
+        raise SystemExit("batch proofs did not verify")
+    t0 = time.time()
+    proofs = prove_batch(keys.index, cs_list)
+    batch_s = time.time() - t0
+    detail["batch4_total_s"] = round(batch_s, 2)
+    detail["batch4_s_per_proof"] = round(batch_s / k, 2)
+    detail["batch4_proofs_per_s"] = round(k / batch_s, 4)
+    log(f"batch prove k={k}: {batch_s:.1f} s -> {batch_s/k:.2f} s/proof "
+        f"({k/batch_s:.3f} proofs/s)")
 
 
 class _SectionTimeout(Exception):
@@ -188,13 +289,23 @@ def main():
     detail = {}
     msm_pps = bench_msm(detail)
     try:
-        _with_timeout(bench_ntt, 600, detail)
+        _with_timeout(bench_ntt, 900, detail)
     except Exception as e:  # secondary metrics must not kill the headline
         log(f"NTT bench failed: {e!r}")
     try:
-        _with_timeout(bench_proof, 2400, detail)
+        _with_timeout(bench_msm_2e24, 900, detail)
+    except Exception as e:
+        log(f"2^24 MSM bench failed: {e!r}")
+    proof_ctx = None
+    try:
+        proof_ctx = _with_timeout(bench_proof, 2400, detail)
     except Exception as e:
         log(f"proof bench failed: {e!r}")
+    if proof_ctx is not None:
+        try:
+            _with_timeout(bench_batch_proof, 2400, detail, *proof_ctx)
+        except Exception as e:
+            log(f"batch proof bench failed: {e!r}")
     log("BENCH_DETAIL " + json.dumps(detail))
     print(
         json.dumps(
