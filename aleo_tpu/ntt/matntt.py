@@ -64,6 +64,25 @@ def _dft_matrix(d: int, root: int, scale: int = 1) -> list:
     return [[pow(root, r * m, R) * scale % R for m in range(d)] for r in range(d)]
 
 
+MAX_TW_BATCH = 4096   # Toeplitz batch cap (carry-kernel tiling sweet spot)
+
+
+def _plan_groups(d: int, m_next: int, bpre: int) -> list:
+    """Split jrest's log2(m_next) bits into groups sized so each factor's
+    Toeplitz matmul has B = d*2^g <= MAX_TW_BATCH and, where achievable,
+    lanes = bpre * m_next / 2^g >= MIN_LANES."""
+    total = m_next.bit_length() - 1
+    if total == 0:
+        return []
+    cap_batch = max(1, (MAX_TW_BATCH // d).bit_length() - 1)
+    lane_bits = (bpre * m_next).bit_length() - 1
+    cap_lanes = max(1, lane_bits - (MIN_LANES.bit_length() - 1))
+    gmax = max(1, min(cap_batch, cap_lanes))
+    n_groups = -(-total // gmax)
+    base, rem = divmod(total, n_groups)
+    return [base + 1] * rem + [base] * (n_groups - rem)
+
+
 class Plan:
     """Host-precomputed banks for one (n, inverse, fold_scale) transform."""
 
@@ -85,40 +104,30 @@ class Plan:
                 fmat.dft_bank_np(_dft_matrix(d, root_d, scale))
             )
             m_i //= d
-        # twiddle banks per depth (None for the last)
+        # Twiddle banks per depth. The exponent k*j over (d, m_next) is split
+        # into factors over bit-groups of j so every Toeplitz matmul gets a
+        # well-shaped batch (B = d*2^g <= MAX_TW_BATCH) and enough lanes
+        # (bpre * m_next / 2^g >= MIN_LANES where achievable) — a single
+        # badly-shaped split costs more than all the DFT matmuls combined
+        # (measured on v5e: B=8192 x 16-lane batches at 2^17).
         self.tw = []
         m_i = n
         bpre = 1
         for i, d in enumerate(self.dims[:-1]):
             m_next = m_i // d
             root = pow(w, n // m_i, R)           # w_{m_i}
-            if bpre >= MIN_LANES or m_next < 4:
+            groups = _plan_groups(d, m_next, bpre)
+            factors = []
+            stride_bits = m_next.bit_length() - 1
+            for g in groups:
+                stride_bits -= g
                 consts = [
-                    pow(root, k * j, R)
+                    pow(root, k * (j << stride_bits), R)
                     for k in range(d)
-                    for j in range(m_next)
+                    for j in range(1 << g)
                 ]
-                self.tw.append(("one", fmat.toeplitz_bank_np(consts)))
-            else:
-                # split j = hi*S + lo so both factors share >= MIN_LANES lanes
-                S = 1 << max(
-                    1, min(m_next.bit_length() - 1 - 1,
-                           max((m_next.bit_length() - 1) // 2,
-                               (MIN_LANES // max(bpre, 1)).bit_length() - 1))
-                )
-                hi_sz = m_next // S
-                f1 = [
-                    pow(root, k * h * S, R)
-                    for k in range(d) for h in range(hi_sz)
-                ]
-                f2 = [
-                    pow(root, k * lo, R)
-                    for k in range(d) for lo in range(S)
-                ]
-                self.tw.append(
-                    ("split", S, fmat.toeplitz_bank_np(f1),
-                     fmat.toeplitz_bank_np(f2))
-                )
+                factors.append(fmat.toeplitz_bank_np(consts))
+            self.tw.append((tuple(groups), factors))
             m_i = m_next
             bpre *= d
 
@@ -171,41 +180,29 @@ def _dft_stage(x: jnp.ndarray, bank: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.moveaxis(y2.reshape(shape), 1, axis)
 
 
-def _tw_one(x: jnp.ndarray, bank: jnp.ndarray, depth: int) -> jnp.ndarray:
-    """Twiddle at `depth` (0-based): const axes = all axes > depth, lane axes
-    = axes 1..depth. x: (L7, d1, ..., ds)."""
-    nd = x.ndim
-    const_axes = tuple(range(depth + 1, nd))
-    lane_axes = tuple(range(1, depth + 1))
-    perm = const_axes + (0,) + lane_axes
-    xt = jnp.transpose(x, perm)
-    B = int(np.prod([x.shape[a] for a in const_axes]))
-    T = int(np.prod([x.shape[a] for a in lane_axes])) if lane_axes else 1
-    xt2 = xt.reshape(B, L7, T)
-    y = fmat.toeplitz_apply(bank, xt2)
-    yt = y.reshape(xt.shape)
-    inv = np.argsort(perm)
-    return jnp.transpose(yt, tuple(inv))
+def _tw_multi(x, groups, banks, depth):
+    """Twiddle at `depth` as a product of bit-group factors.
 
-
-def _tw_split(x, S, bank1, bank2, depth):
-    """Split twiddle at `depth`: axes (1..depth)=pre, depth+1 = k, rest = j.
-    j is split j = hi*S + lo; factor1 over (k, hi) lanes (pre, lo); factor2
-    over (k, lo) lanes (pre, hi)."""
-    nd = x.ndim
-    d = x.shape[depth + 1]
-    rest = int(np.prod(x.shape[depth + 2 :])) if depth + 2 < nd else 1
-    pre = int(np.prod(x.shape[1 : depth + 1]))
-    hi_sz = rest // S
-    x5 = x.reshape((L7, pre, d, hi_sz, S))
-    # factor1: consts (d, hi), lanes (pre, S)
-    xt = jnp.transpose(x5, (2, 3, 0, 1, 4)).reshape(d * hi_sz, L7, pre * S)
-    y = fmat.toeplitz_apply(bank1, xt).reshape(d, hi_sz, L7, pre, S)
-    # factor2: consts (d, lo), lanes (pre, hi)
-    yt = jnp.transpose(y, (0, 4, 2, 3, 1)).reshape(d * S, L7, pre * hi_sz)
-    z = fmat.toeplitz_apply(bank2, yt).reshape(d, S, L7, pre, hi_sz)
-    z5 = jnp.transpose(z, (2, 3, 0, 4, 1))       # (L7, pre, d, hi, S)
-    return z5.reshape(x.shape)
+    x viewed as (L7, pre, d, 2^g1, ..., 2^gz): factor i's constants depend
+    on (d, group_i); all other axes are its lanes. Each factor is one
+    batched Toeplitz const-mul at a planner-guaranteed shape."""
+    shape = x.shape
+    d = shape[depth + 1]
+    pre = int(np.prod(shape[1 : depth + 1])) if depth else 1
+    xg = x.reshape((L7, pre, d) + tuple(1 << g for g in groups))
+    z = len(groups)
+    for i in range(z):
+        gi_ax = 3 + i
+        lane_axes = tuple(
+            a for a in range(1, xg.ndim) if a not in (2, gi_ax)
+        )
+        perm = (2, gi_ax, 0) + lane_axes
+        xt = jnp.transpose(xg, perm)
+        B = d * (1 << groups[i])
+        T = int(np.prod([xg.shape[a] for a in lane_axes])) if lane_axes else 1
+        y = fmat.toeplitz_apply(banks[i], xt.reshape(B, L7, T))
+        xg = jnp.transpose(y.reshape(xt.shape), tuple(np.argsort(perm)))
+    return xg.reshape(shape)
 
 
 def _scale_digits(x: jnp.ndarray, sp: ScalePlan) -> jnp.ndarray:
@@ -230,14 +227,9 @@ def transform7(x7: jnp.ndarray, p: Plan) -> jnp.ndarray:
     for i, d in enumerate(dims):
         x = _dft_stage(x, p.dev(("dft", i), p.dft_banks[i]), axis=1 + i)
         if i < len(dims) - 1:
-            tw = p.tw[i]
-            if tw[0] == "one":
-                x = _tw_one(x, p.dev(("tw", i), tw[1]), depth=i)
-            else:
-                _, S, b1, b2 = tw
-                x = _tw_split(
-                    x, S, p.dev(("tw1", i), b1), p.dev(("tw2", i), b2), depth=i
-                )
+            groups, factors = p.tw[i]
+            banks = [p.dev(("tw", i, j), f) for j, f in enumerate(factors)]
+            x = _tw_multi(x, groups, banks, depth=i)
     # output digit-reversal: position (k1..ks) holds X[k1 + d1*(k2 + ...)]
     s = len(dims)
     x = jnp.transpose(x, (0,) + tuple(range(s, 0, -1)))

@@ -227,6 +227,7 @@ def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
         rng = _random.SystemRandom()
 
     # ---- witness layout -----------------------------------------------------
+    _s = prof.stage
     z_host = z_evaluations(index, cs)
     z_evals = lf.encode(list(z_host))                   # (L, n)
     zm_evals = {mi.name: spmv_lf(mi.by_row, z_evals) for mi in index.matrices}
@@ -256,6 +257,7 @@ def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
     prof.counter("prove/constraints", cs.num_constraints)
     # ---- rowcheck quotient h0 ----------------------------------------------
     # masked deg(z_M) = n+1, so deg(za*zb) = 2n+2: evaluate on a 4n coset.
+    t_r1 = __import__("time").perf_counter()
     za_c = dntt.coset_ntt_lf(pl.pad_to(zm_polys["A"], 4 * n), SHIFT)
     zb_c = dntt.coset_ntt_lf(pl.pad_to(zm_polys["B"], 4 * n), SHIFT)
     zc_c = dntt.coset_ntt_lf(pl.pad_to(zm_polys["C"], 4 * n), SHIFT)
@@ -277,7 +279,9 @@ def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
     r1_names = ["z", "z_a", "z_b", "z_c", "h0", "q_x", "s"]
     r1_polys = [z_poly, zm_polys["A"], zm_polys["B"], zm_polys["C"],
                 h0_poly, qx_poly, s_mask_poly]
-    commitments.update(zip(r1_names, kzg.commit_many_lf(srs, r1_polys)))
+    with _s("prove/commit_r1"):
+        commitments.update(zip(r1_names, kzg.commit_many_lf(srs, r1_polys)))
+    prof.counter("prove/r1_quotients_s", __import__("time").perf_counter() - t_r1)
 
     # ---- transcript / round 1 ----------------------------------------------
     tr = Transcript("varuna")
@@ -331,11 +335,12 @@ def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
     # directly against the shifted SRS slice — an (n-1)-point MSM instead of
     # a degree-D dense one
     D = srs.max_degree
-    commitments.update(zip(
-        ("t", "g1", "h1"),
-        kzg.commit_many_lf(srs, [t_poly, g1_poly, h1_poly]),
-    ))
-    commitments["g1_shift"] = kzg.commit_shifted_lf(srs, g1_poly, D - (n - 2))
+    with _s("prove/commit_r2"):
+        commitments.update(zip(
+            ("t", "g1", "h1"),
+            kzg.commit_many_lf(srs, [t_poly, g1_poly, h1_poly]),
+        ))
+        commitments["g1_shift"] = kzg.commit_shifted_lf(srs, g1_poly, D - (n - 2))
     for nm in ("t", "g1", "h1", "g1_shift"):
         tr.absorb_point(commitments[nm])
     beta = tr.challenge()
@@ -379,15 +384,17 @@ def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
 
     # one multi-MSM for all six K-side commitments, one more (sliced SRS)
     # for the three shared-offset degree-bound commitments
-    r3 = kzg.commit_many_lf(
-        srs, [g2_polys[mn] for mn in "abc"] + [h2_polys[mn] for mn in "abc"]
-    )
+    with _s("prove/commit_r3"):
+        r3 = kzg.commit_many_lf(
+            srs, [g2_polys[mn] for mn in "abc"] + [h2_polys[mn] for mn in "abc"]
+        )
     for i, mn in enumerate("abc"):
         commitments[f"g2_{mn}"] = r3[i]
         commitments[f"h2_{mn}"] = r3[3 + i]
-    shifts3 = kzg.commit_many_lf(
-        srs, [g2_polys[mn] for mn in "abc"], shift=D - (m - 2)
-    )
+    with _s("prove/commit_r3_shift"):
+        shifts3 = kzg.commit_many_lf(
+            srs, [g2_polys[mn] for mn in "abc"], shift=D - (m - 2)
+        )
     for i, mn in enumerate("abc"):
         commitments[f"g2_shift_{mn}"] = shifts3[i]
 
@@ -420,24 +427,26 @@ def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
     # Evaluations are batched into ONE device dispatch + ONE host readback
     # per query point (a ~30x dispatch reduction; each readback costs a full
     # tunnel round trip).
-    evals_beta = dict(zip(
-        BETA_POLYS, _eval_many([beta_polys[k] for k in BETA_POLYS], beta_e)
-    ))
-    evals_gamma = dict(zip(
-        GAMMA_POLYS, _eval_many([gamma_polys[k] for k in GAMMA_POLYS], gamma_e)
-    ))
+    with _s("prove/evals"):
+        evals_beta = dict(zip(
+            BETA_POLYS, _eval_many([beta_polys[k] for k in BETA_POLYS], beta_e)
+        ))
+        evals_gamma = dict(zip(
+            GAMMA_POLYS, _eval_many([gamma_polys[k] for k in GAMMA_POLYS], gamma_e)
+        ))
 
     tr.absorb_fr(*[evals_beta[k] for k in BETA_POLYS])
     tr.absorb_fr(*[evals_gamma[k] for k in GAMMA_POLYS])
     xi1 = tr.challenge()
     xi2 = tr.challenge()
 
-    w_beta, _ = kzg.batch_open_at_lf(
-        srs, [beta_polys[k] for k in BETA_POLYS], beta_e, lf.const(xi1)
-    )
-    w_gamma, _ = kzg.batch_open_at_lf(
-        srs, [gamma_polys[k] for k in GAMMA_POLYS], gamma_e, lf.const(xi2)
-    )
+    with _s("prove/open"):
+        w_beta, _ = kzg.batch_open_at_lf(
+            srs, [beta_polys[k] for k in BETA_POLYS], beta_e, lf.const(xi1)
+        )
+        w_gamma, _ = kzg.batch_open_at_lf(
+            srs, [gamma_polys[k] for k in GAMMA_POLYS], gamma_e, lf.const(xi2)
+        )
 
     return Proof(
         commitments=commitments,
