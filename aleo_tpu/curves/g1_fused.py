@@ -124,15 +124,51 @@ def _double_body(c, x, y, z):
     return x3, y3, z3m
 
 
-def _add_sel_body(c, x1, y1, z1, x2, y2, z2, sign, valid):
-    """acc (+)= (sign ? -P : P) where valid, else acc unchanged.
+def _madd_body(c, x1, y1, z1, x2, y2):
+    """RCB16 Algorithm 8 (complete mixed addition, a=0, b3=3, Z2=1).
+
+    One fewer Montgomery mul than the full addition and no Z2 operand —
+    the Pippenger bucket stream always adds affine table points.
+    """
+    mul = functools.partial(lk.mont_mul, c)
+    add = functools.partial(lk.add, c)
+    sub = functools.partial(lk.sub, c)
+    t0 = mul(x1, x2)
+    t1 = mul(y1, y2)
+    t3 = mul(add(x2, y2), add(x1, y1))
+    t3 = sub(t3, add(t0, t1))
+    t4 = add(mul(y2, z1), y1)
+    y3 = add(mul(x2, z1), x1)
+    x3 = add(t0, t0)
+    t0 = add(x3, t0)
+    t2 = lk.mul3(c, z1)            # b3 * Z1
+    z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    y3 = lk.mul3(c, y3)            # b3 * Y3
+    x3 = mul(t4, y3)
+    t2 = mul(t3, t1)
+    x3 = sub(t2, x3)
+    y3 = mul(y3, t0)
+    t1m = mul(t1, z3)
+    y3 = add(t1m, y3)
+    t0 = mul(t0, t3)
+    z3 = mul(z3, t4)
+    z3 = add(z3, t0)
+    return x3, y3, z3
+
+
+def _add_sel_body(c, x1, y1, z1, x2, y2, sign, valid):
+    """acc (+)= (sign ? -P : P) where valid, else acc unchanged; P affine.
 
     sign/valid are (1, T) uint32 rows broadcast over limbs; the negate and
     the final select fuse into the same VMEM-resident kernel as the add.
+    P == (0, 0) is the identity sentinel (msm.make_table) and is masked
+    like an invalid lane (checked BEFORE the negate: neg(0) = 2p != 0).
     """
+    p_ident = jnp.max(y2, axis=0, keepdims=True) == 0
     y2n = jnp.where(sign != 0, lk.neg(c, y2), y2)
-    rx, ry, rz = _add_body(c, x1, y1, z1, x2, y2n, z2)
-    keep = valid != 0
+    rx, ry, rz = _madd_body(c, x1, y1, z1, x2, y2n)
+    keep = (valid != 0) & ~p_ident
     return (
         jnp.where(keep, rx, x1),
         jnp.where(keep, ry, y1),
@@ -194,10 +230,10 @@ def _build_add_sel(m_padded: int, tile: int, interpret: bool):
     ring = _fq()
     L = ring.L
 
-    def kernel(c_ref, x1, y1, z1, x2, y2, z2, sg, vd, ox, oy, oz):
+    def kernel(c_ref, x1, y1, z1, x2, y2, sg, vd, ox, oy, oz):
         c = ring.unpack_consts(c_ref[:])
         rx, ry, rz = _add_sel_body(
-            c, x1[:], y1[:], z1[:], x2[:], y2[:], z2[:], sg[:], vd[:]
+            c, x1[:], y1[:], z1[:], x2[:], y2[:], sg[:], vd[:]
         )
         ox[:] = rx
         oy[:] = ry
@@ -209,7 +245,7 @@ def _build_add_sel(m_padded: int, tile: int, interpret: bool):
             jax.ShapeDtypeStruct((L, m_padded), jnp.uint32) for _ in range(3)
         ),
         grid=(m_padded // tile,),
-        in_specs=[_const_spec(tile)] + [_coord_spec(tile)] * 6 + [_flag_spec(tile)] * 2,
+        in_specs=[_const_spec(tile)] + [_coord_spec(tile)] * 5 + [_flag_spec(tile)] * 2,
         out_specs=(_coord_spec(tile),) * 3,
         interpret=interpret,
     )
@@ -219,13 +255,70 @@ def _build_add_sel(m_padded: int, tile: int, interpret: bool):
 
 
 def add_sel_lf(
-    acc: G1LF, p: G1LF, sign: jnp.ndarray, valid: jnp.ndarray, tile: int = DEFAULT_TILE
+    acc: G1LF, px, py, sign: jnp.ndarray, valid: jnp.ndarray, tile: int = DEFAULT_TILE
 ) -> G1LF:
     """Masked accumulate: acc + (sign ? -p : p) where valid else acc.
 
-    sign, valid: (M,) uint32/bool. The Pippenger bucket-accumulation round
-    primitive (msm/pippenger.py) — one fused kernel per round.
+    p = (px, py) AFFINE limbs-first (L, M) — the table points of the
+    Pippenger bucket stream are affine, so the round primitive is the
+    mixed complete addition (one fewer mul, one fewer coordinate gather).
+    sign, valid: (M,) uint32/bool.
     """
+    m = acc.x.shape[1]
+    if _use_interpret():
+        g1 = _g1_xla()
+        a = to_points(acc)
+        one = identity_lf(m).y
+        ident = jnp.all(py == 0, axis=0)           # (0,0) identity sentinel
+        qz = jnp.where(ident[:, None], jnp.uint32(0), one.T)
+        q = _g1_xla().G1Points(px.T, py.T, qz)
+        qn = g1.select(sign.astype(bool), g1.neg(q), q)
+        keep = valid.astype(bool) & ~ident
+        return from_points(g1.select(keep, g1.add(a, qn), a))
+    mp = _pad_size(m, tile)
+    call, consts = _build_add_sel(mp, tile, False)
+    sg = _pad_coord(sign.astype(jnp.uint32)[None, :], mp)
+    vd = _pad_coord(valid.astype(jnp.uint32)[None, :], mp)
+    args = [_pad_coord(a, mp) for a in (acc.x, acc.y, acc.z, px, py)]
+    rx, ry, rz = call(consts, *args, sg, vd)
+    return G1LF(rx[:, :m], ry[:, :m], rz[:, :m])
+
+
+@functools.lru_cache(maxsize=None)
+def _build_add_sel_proj(m_padded: int, tile: int, interpret: bool):
+    ring = _fq()
+    L = ring.L
+
+    def kernel(c_ref, x1, y1, z1, x2, y2, z2, sg, vd, ox, oy, oz):
+        c = ring.unpack_consts(c_ref[:])
+        y2n = jnp.where(sg[:] != 0, lk.neg(c, y2[:]), y2[:])
+        rx, ry, rz = _add_body(c, x1[:], y1[:], z1[:], x2[:], y2n, z2[:])
+        keep = vd[:] != 0
+        ox[:] = jnp.where(keep, rx, x1[:])
+        oy[:] = jnp.where(keep, ry, y1[:])
+        oz[:] = jnp.where(keep, rz, z1[:])
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((L, m_padded), jnp.uint32) for _ in range(3)
+        ),
+        grid=(m_padded // tile,),
+        in_specs=[_const_spec(tile)] + [_coord_spec(tile)] * 6 + [_flag_spec(tile)] * 2,
+        out_specs=(_coord_spec(tile),) * 3,
+        interpret=interpret,
+    )
+    consts = ring.const_block(tile)
+    return call, consts
+
+
+def add_sel_proj_lf(
+    acc: G1LF, p: G1LF, sign: jnp.ndarray, valid: jnp.ndarray,
+    tile: int = DEFAULT_TILE,
+) -> G1LF:
+    """Masked accumulate with a PROJECTIVE addend (full complete add) —
+    the top-window sub-accumulator merge, where both sides are bucket
+    accumulators."""
     m = acc.x.shape[1]
     if _use_interpret():
         g1 = _g1_xla()
@@ -233,7 +326,7 @@ def add_sel_lf(
         qn = g1.select(sign.astype(bool), g1.neg(q), q)
         return from_points(g1.select(valid.astype(bool), g1.add(a, qn), a))
     mp = _pad_size(m, tile)
-    call, consts = _build_add_sel(mp, tile, False)
+    call, consts = _build_add_sel_proj(mp, tile, False)
     sg = _pad_coord(sign.astype(jnp.uint32)[None, :], mp)
     vd = _pad_coord(valid.astype(jnp.uint32)[None, :], mp)
     args = [_pad_coord(a, mp) for a in (acc.x, acc.y, acc.z, p.x, p.y, p.z)]

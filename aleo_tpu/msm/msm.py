@@ -88,12 +88,18 @@ def signed_digits(scalars_raw: jnp.ndarray, c: int):
 
 
 def make_table(points: G1Points) -> jnp.ndarray:
-    """(N,)-batched points -> (N, 3L) uint32 gather table [x|y|z] rows.
+    """(N,)-batched points -> (N, 2L) uint32 gather table [x|y] rows.
 
-    Row-contiguous layout so per-round point gathers read 288-byte rows
-    instead of 72 strided column gathers.
+    AFFINE rows: the bucket stream uses the complete MIXED addition,
+    saving a mul and a third of the per-round gather traffic. Identity
+    points are stored as the off-curve sentinel (0, 0) (y^2 = x^3 + 1 has
+    no point with y = 0), which the fused kernel masks like an invalid
+    lane. Row-contiguous so per-round point gathers read 192-byte rows
+    instead of strided column gathers.
     """
-    return jnp.concatenate([points.x, points.y, points.z], axis=-1)
+    ident = jnp.all(points.z == 0, axis=-1, keepdims=True)
+    xy = jnp.concatenate([points.x, points.y], axis=-1)
+    return jnp.where(ident, jnp.uint32(0), xy)
 
 
 def _identity_lf(m: int) -> G1LF:
@@ -229,7 +235,7 @@ def _accumulate_buckets(
     merge_masks, src_np, keep_np, m_exp: int,
 ):
     """Round-robin fused-add accumulation + top-window sub merge/reshuffle."""
-    L = table.shape[1] // 3
+    L = table.shape[1] // 2
     lanes = lane_start.shape[0]
     max_count = jnp.max(lane_count)
     acc0 = _identity_lf(lanes)
@@ -244,8 +250,9 @@ def _accumulate_buckets(
         entry = sorted_entries[pos]
         rows = table[entry & jnp.uint32(0x7FFFFFFF)]
         coords = rows.T
-        p = G1LF(coords[:L], coords[L : 2 * L], coords[2 * L :])
-        acc = gf.add_sel_lf(G1LF(ax, ay, az), p, entry >> 31, valid)
+        acc = gf.add_sel_lf(
+            G1LF(ax, ay, az), coords[:L], coords[L:], entry >> 31, valid
+        )
         return j + 1, acc.x, acc.y, acc.z
 
     _, ax, ay, az = jax.lax.while_loop(
@@ -258,7 +265,7 @@ def _accumulate_buckets(
     for mask_np in merge_masks:
         idx = jnp.minimum(jnp.arange(lanes) + shift, lanes - 1)
         partner = G1LF(acc.x[:, idx], acc.y[:, idx], acc.z[:, idx])
-        acc = gf.add_sel_lf(
+        acc = gf.add_sel_proj_lf(
             acc, partner, jnp.zeros((lanes,), jnp.uint32), jnp.asarray(mask_np)
         )
         shift *= 2
