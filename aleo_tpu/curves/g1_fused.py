@@ -165,7 +165,8 @@ def _add_sel_body(c, x1, y1, z1, x2, y2, sign, valid):
     P == (0, 0) is the identity sentinel (msm.make_table) and is masked
     like an invalid lane (checked BEFORE the negate: neg(0) = 2p != 0).
     """
-    p_ident = jnp.max(y2, axis=0, keepdims=True) == 0
+    # int32 cast: Mosaic has no unsigned reductions (limbs are 16-bit)
+    p_ident = jnp.max(y2.astype(jnp.int32), axis=0, keepdims=True) == 0
     y2n = jnp.where(sign != 0, lk.neg(c, y2), y2)
     rx, ry, rz = _madd_body(c, x1, y1, z1, x2, y2n)
     keep = (valid != 0) & ~p_ident
