@@ -367,6 +367,43 @@ class ProgramManager:
             prove=prove,
         )
 
+    def join(
+        self,
+        record_one: Record,
+        record_two: Record,
+        fee: int = 0,
+        fee_record: Optional[Record] = None,
+        password: Optional[str] = None,
+        prove: bool = False,
+    ) -> str:
+        """Merge two credits records into one (`credits.aleo/join`; the wasm
+        manager surface at /root/reference/wasm/src/programs/manager/join.rs:57)."""
+        self.find_program("credits.aleo")
+        return self.execute_program(
+            "credits.aleo", "join", [record_one, record_two],
+            fee=fee, fee_record=fee_record,
+            password=password if self.private_key is None else None,
+            prove=prove,
+        )
+
+    def split(
+        self,
+        amount_record: Record,
+        split_amount: int,
+        password: Optional[str] = None,
+        prove: bool = False,
+    ) -> str:
+        """Split a credits record in two (`credits.aleo/split`; fee-less by
+        protocol, /root/reference/wasm/src/programs/manager/split.rs:52)."""
+        self.find_program("credits.aleo")
+        return self.execute_program(
+            "credits.aleo", "split",
+            [amount_record, Value("u64", split_amount)],
+            fee=0,
+            password=password if self.private_key is None else None,
+            prove=prove,
+        )
+
     # -- fee estimation (execute.rs:184-234, deploy.rs:149-169) ---------------
 
     def estimate_execution_fee(self, program_id: str, function: str, inputs: List) -> int:

@@ -58,12 +58,12 @@ def test_sharded_ntt_at_size(mesh8):
 
 
 def test_sharded_msm_at_size(mesh8):
-    """2^12-point sharded MSM vs the host Pippenger oracle (512/shard,
+    """2^11-point sharded MSM vs the host Pippenger oracle (256/shard,
     real window/bucket occupancy instead of the r3 toy 4-point shards)."""
     from aleo_tpu.reference.msm import msm_pippenger_jac
 
     rng = random.Random(703)
-    n = 1 << 12
+    n = 1 << 11
     G = G1.generator()
     base_pts = [G1.mul(k, G) for k in range(1, 65)]
     pts = [base_pts[i % 64] for i in range(n)]
