@@ -204,6 +204,11 @@ def commit_many_lf(srs: Srs, polys_lf, c: int | None = None, shift: int = 0):
 
     shift > 0 commits X^shift * p_i for every polynomial (shared-offset
     degree-bound commitments) against the sliced SRS.
+
+    Polynomials are GROUPED by padded power-of-two size before batching:
+    padding everything to the longest member would grow the sort/digit
+    stream of every short polynomial (measured 1.75x extra point-work on
+    the prover's round-1 mix of n- and 2n-sized polynomials).
     """
     from ..fields import fr_lf as flf
     from ..msm.msm import msm_batch_host
@@ -212,19 +217,34 @@ def commit_many_lf(srs: Srs, polys_lf, c: int | None = None, shift: int = 0):
         if shift:
             return [commit_shifted_lf(srs, p, shift, c=c) for p in polys_lf]
         return [commit_lf(srs, p, c=c) for p in polys_lf]
-    n = max(p.shape[1] for p in polys_lf)
-    assert shift + n <= srs.max_degree + 1
-    n_pad = min(1 << max(2, (n - 1).bit_length()), srs.max_degree + 1 - shift)
-    n_pad = max(n, n_pad)
-    stack = jnp.stack([pl_lf.pad_to(p, n_pad) for p in polys_lf])  # (k, L, n)
-    raw = jax.vmap(flf.from_mont)(stack)
-    raw_ll = jnp.swapaxes(raw, 1, 2)                               # (k, n, L)
-    table = make_table(G1Points(
-        srs.powers.x[shift : shift + n_pad],
-        srs.powers.y[shift : shift + n_pad],
-        srs.powers.z[shift : shift + n_pad],
-    ))
-    return msm_batch_host(raw_ll, table, c=c)
+
+    def pad_size(n):
+        np_ = min(1 << max(2, (n - 1).bit_length()), srs.max_degree + 1 - shift)
+        return max(n, np_)
+
+    groups = {}
+    for i, p in enumerate(polys_lf):
+        groups.setdefault(pad_size(p.shape[1]), []).append(i)
+    out = [None] * len(polys_lf)
+    for n_pad, idxs in groups.items():
+        assert shift + n_pad <= srs.max_degree + 1
+        table = make_table(G1Points(
+            srs.powers.x[shift : shift + n_pad],
+            srs.powers.y[shift : shift + n_pad],
+            srs.powers.z[shift : shift + n_pad],
+        ))
+        if len(idxs) == 1:
+            p = pl_lf.pad_to(polys_lf[idxs[0]], n_pad)
+            raw = _from_mont_lf_j(p).T
+            out[idxs[0]] = msm_fast_host(raw, table, c=c)
+            continue
+        stack = jnp.stack([pl_lf.pad_to(polys_lf[i], n_pad) for i in idxs])
+        raw = jax.vmap(flf.from_mont)(stack)
+        raw_ll = jnp.swapaxes(raw, 1, 2)                           # (k, n, L)
+        pts = msm_batch_host(raw_ll, table, c=c)
+        for i, pt in zip(idxs, pts):
+            out[i] = pt
+    return out
 
 
 def open_at_lf(srs: Srs, coeffs_lf: jnp.ndarray, z_lf: jnp.ndarray, c: int | None = None):

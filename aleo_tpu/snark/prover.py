@@ -204,20 +204,20 @@ def _bconst(x: int, shape) -> jnp.ndarray:
     return jnp.broadcast_to(lf.const(x), shape)
 
 
+@jax.jit
+def _mask_vh_j(poly: jnp.ndarray, head: jnp.ndarray) -> jnp.ndarray:
+    padded = jnp.concatenate([poly, head], axis=1)
+    lo = lf.add(padded[:, :2], lf.neg(head))
+    return jnp.concatenate([lo, padded[:, 2:]], axis=1)
+
+
 def _mask_vh(poly: jnp.ndarray, n: int, a: int, b: int) -> jnp.ndarray:
     """poly + v_H(X) * (a + b X) = poly - (a + b X) + a X^n + b X^(n+1).
 
-    poly: (L, n) -> (L, n+2), still identical to poly on H.
+    poly: (L, n) -> (L, n+2), still identical to poly on H. One jitted
+    dispatch (eager limb ops through the device tunnel cost ~ms each).
     """
-    head = lf.encode([a, b])
-    tail = head  # same coefficients reappear at X^n, X^(n+1)
-    padded = jnp.concatenate([poly, tail], axis=1)
-    neg_head = lf.neg(head)
-    bump = jnp.concatenate(
-        [neg_head, jnp.zeros((lf.L, n - 2), jnp.uint32), jnp.zeros((lf.L, 2), jnp.uint32)],
-        axis=1,
-    )
-    return lf.add(padded, bump)
+    return _mask_vh_j(poly, lf.encode([a, b]))
 
 
 def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
