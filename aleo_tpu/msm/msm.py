@@ -48,11 +48,13 @@ DEFAULT_C = 13
 def auto_c(n: int) -> int:
     """Pippenger window size for an n-point MSM.
 
-    ~log2(n) - 3 balances bucket-lane count (W * 2^(c-1)) against round
-    count (max bucket occupancy ~ n / 2^(c-1) + tail); clamped to the
-    measured sweet spot for the v5e kernel at 2^16.
+    ~log2(n) - 2 balances bucket-lane count (W * 2^(c-1)) against round
+    count (max bucket occupancy ~ n / 2^(c-1) + tail); the v5e sweep
+    (tools: sweep over c in 12..14 at 2^13..2^16) puts the ceiling at 12 —
+    beyond it the Poisson occupancy tail wastes most lanes in late rounds
+    (2^16: c=12 161k pts/s vs c=13 102k).
     """
-    return max(3, min(DEFAULT_C, n.bit_length() - 3))
+    return max(3, min(12, n.bit_length() - 2))
 
 
 def _nwin(c: int) -> int:
@@ -135,6 +137,71 @@ def _scan_add_buckets(p: G1LF, w: int, b: int) -> G1LF:
         0, b.bit_length() - 1, body, (p.x, p.y, p.z)
     )
     return G1LF(x, y, z)
+
+
+def _tree_sum_axis(p: G1LF, L: int, pre: int, b: int, post: int) -> G1LF:
+    """Halving tree reduction over the middle axis of a (L, pre, b, post)
+    lane view. Work ~2x one full-width add (vs log2(b)x for a scan)."""
+    x, y, z = p.x, p.y, p.z
+    while b > 1:
+        half = b // 2
+
+        def split(a):
+            a4 = a.reshape(L, pre, b, post)
+            return (
+                a4[:, :, :half].reshape(L, -1),
+                a4[:, :, half:].reshape(L, -1),
+            )
+
+        (xl, xh), (yl, yh), (zl, zh) = split(x), split(y), split(z)
+        s = gf.add_lf(G1LF(xl, yl, zl), G1LF(xh, yh, zh))
+        x, y, z, b = s.x, s.y, s.z, half
+    return G1LF(x, y, z)
+
+
+def _weighted_bucket_sum(p: G1LF, w: int, b: int) -> G1LF:
+    """sum_{i} (i+1) * S_i per window -> (L, w) window totals.
+
+    Chunked formulation: with i = hi*G + lo,
+      sum (i+1) S_i = G * sum_hi hi*A_hi + sum_lo (lo+1)*B_lo,
+    where A_hi/B_lo are tree sums over the other sub-axis. The big-width
+    work is two tree reductions (~2x a full-width add each) instead of the
+    2*log2(b) full-width adds of the double-suffix-scan formulation —
+    measured 45% of the whole 2^16 MSM.
+    """
+    L = p.x.shape[0]
+    if b <= 64:
+        q = _scan_add_buckets(p, w, b)
+        q = _scan_add_buckets(q, w, b)
+        return _first_bucket(q, w, b)
+    g = (b.bit_length() - 1) // 2
+    G = 1 << g
+    H = b // G
+    # A_hi = sum_lo S[hi, lo]  (reduce the trailing G axis)
+    A = _tree_sum_axis(p, L, w * H, G, 1)               # (L, w*H)
+    # B_lo = sum_hi S[hi, lo]  (reduce the middle H axis)
+    B = _tree_sum_axis(p, L, w, H, G)                   # (L, w*G)
+    # X = sum_hi hi * A_hi  == sum_k (k+1) * A[k+1]  (shift A left by one)
+    ident = _identity_lf(1)
+
+    def shift_left(a, fill):
+        a3 = a.reshape(L, w, H)
+        tail = jnp.broadcast_to(fill.reshape(L, 1, 1), (L, w, 1))
+        return jnp.concatenate([a3[:, :, 1:], tail], axis=2).reshape(L, -1)
+
+    A1 = G1LF(
+        shift_left(A.x, ident.x), shift_left(A.y, ident.y),
+        shift_left(A.z, ident.z),
+    )
+    X = _scan_add_buckets(A1, w, H)
+    X = _scan_add_buckets(X, w, H)
+    X = _first_bucket(X, w, H)                          # (L, w)
+    Y = _scan_add_buckets(B, w, G)
+    Y = _scan_add_buckets(Y, w, G)
+    Y = _first_bucket(Y, w, G)                          # (L, w)
+    for _ in range(g):                                  # G * X
+        X = gf.double_lf(X)
+    return gf.add_lf(X, Y)
 
 
 def _first_bucket(p: G1LF, w: int, b: int) -> G1LF:
@@ -311,11 +378,8 @@ def msm_windows(scalars_raw: jnp.ndarray, table: jnp.ndarray, c: int) -> G1LF:
         merge_masks, src_np, keep_np, m_exp,
     )
 
-    # weighted reduction: sum_b b*S_b == (suffix-scan applied twice)[0].
-    # Each scan is one fused-add instance under fori_loop.
-    buckets = _scan_add_buckets(buckets, w_total, half)
-    buckets = _scan_add_buckets(buckets, w_total, half)
-    return _first_bucket(buckets, w_total, half)  # (L, W)
+    # weighted reduction: sum_b b*S_b via the chunked tree formulation
+    return _weighted_bucket_sum(buckets, w_total, half)  # (L, W)
 
 
 @functools.partial(jax.jit, static_argnames=("c",))
@@ -359,9 +423,7 @@ def msm_windows_batch(scalars_raw: jnp.ndarray, table: jnp.ndarray, c: int) -> G
         sorted_entries, table, lane_start, lane_stride, lane_count,
         merge_masks, src_np, keep_np, m_exp,
     )
-    buckets = _scan_add_buckets(buckets, k * w_total, half)
-    buckets = _scan_add_buckets(buckets, k * w_total, half)
-    return _first_bucket(buckets, k * w_total, half)  # (L, k*W)
+    return _weighted_bucket_sum(buckets, k * w_total, half)  # (L, k*W)
 
 
 def msm_batch_host(scalars_raw: jnp.ndarray, table: jnp.ndarray, c: int | None = None):

@@ -47,18 +47,15 @@ log(f"c={C} windows={W} lanes={LANES}")
 
 # 1. add_sel round cost at lane width, chained
 acc0 = gf.identity_lf(LANES)
-pt = gf.G1LF(
-    jnp.tile(pts.x.T, (1, (LANES + N - 1)//N))[:, :LANES],
-    jnp.tile(pts.y.T, (1, (LANES + N - 1)//N))[:, :LANES],
-    jnp.tile(pts.z.T, (1, (LANES + N - 1)//N))[:, :LANES],
-)
+ptx = jnp.tile(pts.x.T, (1, (LANES + N - 1)//N))[:, :LANES]
+pty = jnp.tile(pts.y.T, (1, (LANES + N - 1)//N))[:, :LANES]
 sign = jnp.zeros((LANES,), jnp.uint32)
 valid = jnp.ones((LANES,), jnp.uint32)
 ITERS = 10
 @jax.jit
 def chain_add(ax, ay, az):
     def body(i, s):
-        a = gf.add_sel_lf(gf.G1LF(*s), pt, sign, valid)
+        a = gf.add_sel_lf(gf.G1LF(*s), ptx, pty, sign, valid)
         return (a.x, a.y, a.z)
     o = jax.lax.fori_loop(0, ITERS, body, (ax, ay, az))
     return jnp.sum(o[0])
