@@ -195,24 +195,13 @@ def commit_shifted_lf(srs: Srs, coeffs_lf: jnp.ndarray, shift: int,
 
 
 def commit_many_lf(srs: Srs, polys_lf, c: int | None = None, shift: int = 0):
-    """Commit a list of limbs-first polynomials in ONE multi-MSM pipeline.
+    """Commit a list of limbs-first polynomials, grouped by padded size.
 
-    All polynomials are padded to a shared power-of-two length and ride the
-    shared-table batched Pippenger (msm.msm_batch_host): one sort + one
-    fused-add bucket stream for the whole round's commitments — the
-    round-4 latency lever for the prover's per-round commit groups.
-
-    shift > 0 commits X^shift * p_i for every polynomial (shared-offset
-    degree-bound commitments) against the sliced SRS.
-
-    Polynomials are GROUPED by padded power-of-two size before batching:
-    padding everything to the longest member would grow the sort/digit
-    stream of every short polynomial (measured 1.75x extra point-work on
-    the prover's round-1 mix of n- and 2n-sized polynomials).
+    Each group shares one gather table, runs its MSMs back to back, and
+    reads every window total back in a single host transfer. shift > 0
+    commits X^shift * p_i against the sliced SRS (shared-offset
+    degree-bound commitments).
     """
-    from ..fields import fr_lf as flf
-    from ..msm.msm import msm_batch_host
-
     if jax.default_backend() != "tpu":
         if shift:
             return [commit_shifted_lf(srs, p, shift, c=c) for p in polys_lf]
@@ -221,6 +210,9 @@ def commit_many_lf(srs: Srs, polys_lf, c: int | None = None, shift: int = 0):
     def pad_size(n):
         np_ = min(1 << max(2, (n - 1).bit_length()), srs.max_degree + 1 - shift)
         return max(n, np_)
+
+    from ..msm.msm import auto_c, combine_windows_host, msm_windows
+    from ..curves import g1_fused as gf
 
     groups = {}
     for i, p in enumerate(polys_lf):
@@ -233,17 +225,36 @@ def commit_many_lf(srs: Srs, polys_lf, c: int | None = None, shift: int = 0):
             srs.powers.y[shift : shift + n_pad],
             srs.powers.z[shift : shift + n_pad],
         ))
-        if len(idxs) == 1:
-            p = pl_lf.pad_to(polys_lf[idxs[0]], n_pad)
+        # Sequential single MSMs over the shared table: the fused-add bucket
+        # work scales linearly with the batch size, so the k-way multi-MSM
+        # pipeline has no per-point advantage (measured 2737 ms for k=6 at
+        # 2^15 vs 6 x 256 ms sequential on v5e) — but the per-window device
+        # outputs of the whole group are read back in ONE transfer (each
+        # readback costs a full tunnel round trip).
+        cg = c if c is not None else auto_c(n_pad)
+        wins = []
+        for i in idxs:
+            p = pl_lf.pad_to(polys_lf[i], n_pad)
             raw = _from_mont_lf_j(p).T
-            out[idxs[0]] = msm_fast_host(raw, table, c=c)
-            continue
-        stack = jnp.stack([pl_lf.pad_to(polys_lf[i], n_pad) for i in idxs])
-        raw = jax.vmap(flf.from_mont)(stack)
-        raw_ll = jnp.swapaxes(raw, 1, 2)                           # (k, n, L)
-        pts = msm_batch_host(raw_ll, table, c=c)
-        for i, pt in zip(idxs, pts):
-            out[i] = pt
+            wins.append(msm_windows(raw, table, c=cg))
+        allw = gf.G1LF(
+            jnp.concatenate([w.x for w in wins], axis=1),
+            jnp.concatenate([w.y for w in wins], axis=1),
+            jnp.concatenate([w.z for w in wins], axis=1),
+        )
+        W = wins[0].x.shape[1]
+        import numpy as np
+
+        host = (np.asarray(allw.x), np.asarray(allw.y), np.asarray(allw.z))
+        for j, i in enumerate(idxs):
+            out[i] = combine_windows_host(
+                gf.G1LF(
+                    host[0][:, j * W : (j + 1) * W],
+                    host[1][:, j * W : (j + 1) * W],
+                    host[2][:, j * W : (j + 1) * W],
+                ),
+                cg,
+            )
     return out
 
 

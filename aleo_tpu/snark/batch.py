@@ -75,32 +75,11 @@ def _const_b(vals: List[int], n: int = 1) -> jnp.ndarray:
 
 
 def _commit_batch(srs, stack, c=None, shift=0):
-    """stack (k, L, n) -> k host affine points (shared-table multi-MSM).
-
-    shift > 0 commits X^shift * p for every row against the sliced SRS
-    (shared-offset degree-bound commitments, see kzg.commit_shifted_lf)."""
-    k, _, n = stack.shape
-    assert shift + n <= srs.max_degree + 1
-    if jax.default_backend() != "tpu":
-        from ..reference.msm import msm_pippenger_jac
-
-        pts = srs.host_affine()[shift : shift + n]
-        return [
-            msm_pippenger_jac([int(v) for v in lf.decode(stack[p])], pts, c=8)
-            for p in range(k)
-        ]
-    n_pad = min(1 << max(2, (n - 1).bit_length()), srs.max_degree + 1 - shift)
-    stack = _pad_b(stack, max(n, n_pad))
-    raw = jax.vmap(lf.from_mont)(stack)            # (k, L, n)
-    raw_ll = jnp.swapaxes(raw, 1, 2)               # (k, n, L)
-    table = msm_mod.make_table(
-        msm_mod.G1Points(
-            srs.powers.x[shift : shift + stack.shape[2]],
-            srs.powers.y[shift : shift + stack.shape[2]],
-            srs.powers.z[shift : shift + stack.shape[2]],
-        )
+    """stack (k, L, n) -> k host affine points (kzg.commit_many_lf: shared
+    gather table per size group, one readback per group)."""
+    return kzg.commit_many_lf(
+        srs, [stack[i] for i in range(stack.shape[0])], c=c, shift=shift
     )
-    return msm_mod.msm_batch_host(raw_ll, table, c=c)
 
 
 def prove_batch(index: Index, cs_list: List[ConstraintSystem], rng=None,
