@@ -272,12 +272,17 @@ def batch_open_at_lf(
     z_lf: jnp.ndarray,
     gamma_lf: jnp.ndarray,
     c: int | None = None,
+    compute_evals: bool = True,
 ):
     """Single opening proof for many limbs-first polynomials at one point via
-    the random linear combination sum gamma^i p_i. Returns (W, [y_i])."""
+    the random linear combination sum gamma^i p_i. Returns (W, [y_i]).
+
+    compute_evals=False skips the per-polynomial evaluations (one device
+    dispatch each) when the caller already holds them — the prover batches
+    all evaluations in one dispatch before the transcript absorbs them."""
     from ..fields import fr_lf as flf
 
-    ys = [pl_lf.eval_coeffs(p, z_lf) for p in polys_lf]
+    ys = [pl_lf.eval_coeffs(p, z_lf) for p in polys_lf] if compute_evals else None
     max_len = max(p.shape[1] for p in polys_lf)
     stack = jnp.stack([pl_lf.pad_to(p, max_len) for p in polys_lf], axis=1)
     gpows = flf.powers(gamma_lf, len(polys_lf))          # (L, k)

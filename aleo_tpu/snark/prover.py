@@ -39,9 +39,11 @@ Zero-knowledge (Marlin-style):
   Quotient cosets are sized for the masked degrees (h0/q1 on 4n, q_x on 2n).
 
 Degree-bound enforcement: g1 (deg <= n-2) and g2_M (deg <= m-2) are
-additionally committed as X^(D-d) * g (D = SRS degree); the verifier checks
-shifted_eval = point^(D-d) * eval, which fails for any higher-degree poly
-(the standard Marlin shifted-commitment trick).
+additionally committed as X^(D-d) * g (D = SRS degree) against the SLICED
+SRS (kzg.commit_shifted_lf — an (n-1)-point MSM, not a degree-D dense one);
+the verifier binds cm_shift to cm with the pairing check
+e(cm_shift, H) == e(cm, [tau^(D-d)]H), which only a polynomial of degree
+<= d can satisfy from the SRS span (verifier.py).
 """
 
 from __future__ import annotations
@@ -442,10 +444,12 @@ def prove(index: Index, cs: ConstraintSystem, rng=None) -> Proof:
 
     with _s("prove/open"):
         w_beta, _ = kzg.batch_open_at_lf(
-            srs, [beta_polys[k] for k in BETA_POLYS], beta_e, lf.const(xi1)
+            srs, [beta_polys[k] for k in BETA_POLYS], beta_e, lf.const(xi1),
+            compute_evals=False,
         )
         w_gamma, _ = kzg.batch_open_at_lf(
-            srs, [gamma_polys[k] for k in GAMMA_POLYS], gamma_e, lf.const(xi2)
+            srs, [gamma_polys[k] for k in GAMMA_POLYS], gamma_e, lf.const(xi2),
+            compute_evals=False,
         )
 
     return Proof(
