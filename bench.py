@@ -155,15 +155,22 @@ def bench_ntt(detail):
             [int.from_bytes(rng.bytes(31), "little") % params.R
              for _ in range(1 << 12)] * (n >> 12)
         )
-        t0 = time.time()
-        o = dntt.ntt_lf(data)
-        jax.block_until_ready(o)
-        log(f"NTT 2^{logn} compile+first: {time.time()-t0:.1f}s")
         iters = 5 if logn >= 22 else 10
+
+        # Chain dependent transforms INSIDE one jit and read back a scalar:
+        # through the axon tunnel, a full-array readback costs seconds at
+        # these sizes and block_until_ready returns early — both corrupt
+        # per-iteration timing (see tools/probe_mxu.py).
+        @jax.jit
+        def chain(x):
+            v = jax.lax.fori_loop(0, iters, lambda i, v: dntt.ntt_lf(v), x)
+            return jnp.sum(v.astype(jnp.uint32))
+
         t0 = time.time()
-        for _ in range(iters):
-            o = dntt.ntt_lf(o)
-        np.asarray(o)  # force full readback: tunnel-safe timing
+        float(chain(data))
+        log(f"NTT 2^{logn} compile+first: {time.time()-t0:.1f}s")
+        t0 = time.time()
+        float(chain(data))
         dt = (time.time() - t0) / iters
         bf = n // 2 * logn
         log(f"NTT 2^{logn}: {dt*1e3:.2f} ms -> {bf/dt/1e6:,.1f} M butterflies/s "
@@ -172,12 +179,18 @@ def bench_ntt(detail):
         detail[f"ntt_2e{logn}_mbfly_s"] = round(bf / dt / 1e6, 1)
         detail[f"ntt_2e{logn}_vs_baseline"] = round(bf / dt / CPU_ANCHOR_NTT_BFLY, 2)
         if logn >= 20:
-            oc = dntt.coset_ntt_lf(data, params.FR_GENERATOR)
-            jax.block_until_ready(oc)
+
+            @jax.jit
+            def chainc(x):
+                v = jax.lax.fori_loop(
+                    0, iters,
+                    lambda i, v: dntt.coset_ntt_lf(v, params.FR_GENERATOR), x,
+                )
+                return jnp.sum(v.astype(jnp.uint32))
+
+            float(chainc(data))
             t0 = time.time()
-            for _ in range(iters):
-                oc = dntt.coset_ntt_lf(data, params.FR_GENERATOR)
-            np.asarray(oc)
+            float(chainc(data))
             detail[f"coset_ntt_2e{logn}_ms"] = round((time.time() - t0) / iters * 1e3, 2)
             log(f"coset NTT 2^{logn}: {detail[f'coset_ntt_2e{logn}_ms']} ms")
 
