@@ -84,6 +84,15 @@ def _commit_batch(srs, stack, c=None, shift=0):
 
 def prove_batch(index: Index, cs_list: List[ConstraintSystem], rng=None,
                 mesh=None) -> List[Proof]:
+    """k proofs under one index; returns one Proof per constraint system
+    (vmapped device stages; the NTT rides the VPU butterfly path — see
+    ntt.matntt_suspended).""" 
+    with dntt.matntt_suspended():
+        return _prove_batch_impl(index, cs_list, rng, mesh)
+
+
+def _prove_batch_impl(index: Index, cs_list: List[ConstraintSystem], rng=None,
+                      mesh=None) -> List[Proof]:
     """k proofs under one index; returns one Proof per constraint system.
 
     `mesh` (a jax.sharding.Mesh with a "dp" axis) shards the leading k axis
