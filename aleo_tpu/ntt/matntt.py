@@ -205,11 +205,14 @@ def _tw_multi(x, groups, banks, depth):
     return xg.reshape(shape)
 
 
-def _scale_digits(x: jnp.ndarray, sp: ScalePlan) -> jnp.ndarray:
-    """Elementwise scale by base^j via one Toeplitz mul per digit axis."""
+def _scale_digits(x: jnp.ndarray, sp: ScalePlan, lead: int = 1) -> jnp.ndarray:
+    """Elementwise scale by base^j via one Toeplitz mul per digit axis.
+
+    `lead` = number of leading non-digit axes after the limb axis (1 when a
+    batch axis precedes the digit axes)."""
     for i, d in enumerate(sp.dims):
         nd = x.ndim
-        axis = 1 + i
+        axis = lead + i
         lane_axes = tuple(a for a in range(1, nd) if a != axis)
         perm = (axis, 0) + lane_axes
         xt = jnp.transpose(x, perm)
@@ -219,21 +222,26 @@ def _scale_digits(x: jnp.ndarray, sp: ScalePlan) -> jnp.ndarray:
     return x
 
 
-def transform7(x7: jnp.ndarray, p: Plan) -> jnp.ndarray:
-    """Core transform on (L7, n) int8 limbs -> (L7, n) int8, natural order."""
+def transform7(x7: jnp.ndarray, p: Plan, batch: int = 1) -> jnp.ndarray:
+    """Core transform on (L7, [batch,] n) int8 limbs -> same, natural order.
+
+    A leading batch axis (between limbs and digits) rides along as extra
+    "pre" lanes for every stage — the twiddle factors only get wider-lane
+    (better-shaped) matmuls out of it.
+    """
     n = p.n
     dims = p.dims
-    x = x7.reshape((L7,) + tuple(dims))
+    x = x7.reshape((L7, batch) + tuple(dims))
     for i, d in enumerate(dims):
-        x = _dft_stage(x, p.dev(("dft", i), p.dft_banks[i]), axis=1 + i)
+        x = _dft_stage(x, p.dev(("dft", i), p.dft_banks[i]), axis=2 + i)
         if i < len(dims) - 1:
             groups, factors = p.tw[i]
             banks = [p.dev(("tw", i, j), f) for j, f in enumerate(factors)]
-            x = _tw_multi(x, groups, banks, depth=i)
+            x = _tw_multi(x, groups, banks, depth=i + 1)
     # output digit-reversal: position (k1..ks) holds X[k1 + d1*(k2 + ...)]
     s = len(dims)
-    x = jnp.transpose(x, (0,) + tuple(range(s, 0, -1)))
-    return x.reshape(L7, n)
+    x = jnp.transpose(x, (0, 1) + tuple(range(s + 1, 1, -1)))
+    return x.reshape((L7, batch, n) if batch > 1 else (L7, n))
 
 
 # ---------------------------------------------------------------------------
@@ -244,26 +252,25 @@ def transform7(x7: jnp.ndarray, p: Plan) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=64)
-def _jit_entry(n: int, inverse: bool, shift: int | None):
+@functools.lru_cache(maxsize=96)
+def _jit_entry(n: int, inverse: bool, shift: int | None, batch: int = 1):
     ninv = pow(n, -1, R) if inverse else 1
     p = plan(n, inverse, ninv if inverse else 1)
     sp = None
     if shift is not None:
         base = shift if not inverse else pow(shift, -1, R)
         sp = scale_plan(n, base, tuple(p.dims))
+    bshape = (L7, batch) + tuple(p.dims)
 
     def fwd(x16):
         x7 = fmat.pack7(x16)
         if sp is not None and not inverse:
-            x7 = _scale_digits(
-                x7.reshape((L7,) + tuple(p.dims)), sp
-            ).reshape(L7, n)
-        out7 = transform7(x7, p)
+            x7 = _scale_digits(x7.reshape(bshape), sp, lead=2).reshape(x7.shape)
+        out7 = transform7(x7, p, batch=batch)
         if sp is not None and inverse:
             out7 = _scale_digits(
-                out7.reshape((L7,) + tuple(p.dims)), sp
-            ).reshape(L7, n)
+                out7.reshape(bshape), sp, lead=2
+            ).reshape(out7.shape)
         return fmat.unpack7(out7)
 
     return jax.jit(fwd)
@@ -283,3 +290,30 @@ def coset_ntt_lf16(x16: jnp.ndarray, shift: int) -> jnp.ndarray:
 
 def coset_intt_lf16(x16: jnp.ndarray, shift: int) -> jnp.ndarray:
     return _jit_entry(x16.shape[1], True, shift)(x16)
+
+
+# -- batched API: x16 (k, 16, n) u32, the batch prover's array layout --------
+
+
+def _batched(x16: jnp.ndarray, inverse: bool, shift: int | None) -> jnp.ndarray:
+    k, _, n = x16.shape
+    f = _jit_entry(n, inverse, shift, batch=k)
+    # (k, 16, n) -> (16, k, n): limbs leading for pack7; back at the end
+    out = f(jnp.swapaxes(x16, 0, 1))
+    return jnp.swapaxes(out, 0, 1)
+
+
+def ntt_batch_lf16(x16: jnp.ndarray) -> jnp.ndarray:
+    return _batched(x16, False, None)
+
+
+def intt_batch_lf16(x16: jnp.ndarray) -> jnp.ndarray:
+    return _batched(x16, True, None)
+
+
+def coset_ntt_batch_lf16(x16: jnp.ndarray, shift: int) -> jnp.ndarray:
+    return _batched(x16, False, shift)
+
+
+def coset_intt_batch_lf16(x16: jnp.ndarray, shift: int) -> jnp.ndarray:
+    return _batched(x16, True, shift)

@@ -41,8 +41,6 @@ R = params.R
 SHIFT = params.FR_GENERATOR
 
 # vmapped device stages (batch axis leading)
-_ntt_b = jax.vmap(dntt.ntt_lf)
-_intt_b = jax.vmap(dntt.intt_lf)
 _mul_b = jax.vmap(lf.mul)
 _add_b = jax.vmap(lf.add)
 _sub_b = jax.vmap(lf.sub)
@@ -51,12 +49,45 @@ _tsum_b = jax.vmap(lf.tree_sum)
 _eval_b = jax.vmap(pl.eval_coeffs)
 
 
+# Batched NTTs: MatNTT has NATIVE batch support (the k axis rides as extra
+# matmul lanes, ntt/matntt.py); the VPU fallback vmaps with MatNTT suspended
+# (vmap over its Pallas carry inserts a squeezed dim Mosaic rejects).
+
+
+def _ntt_b(x):
+    if dntt._use_matntt(x.shape[2]):
+        from ..ntt import matntt
+
+        return matntt.ntt_batch_lf16(x)
+    with dntt.matntt_suspended():
+        return jax.vmap(dntt.ntt_lf)(x)
+
+
+def _intt_b(x):
+    if dntt._use_matntt(x.shape[2]):
+        from ..ntt import matntt
+
+        return matntt.intt_batch_lf16(x)
+    with dntt.matntt_suspended():
+        return jax.vmap(dntt.intt_lf)(x)
+
+
 def _coset_ntt_b(x, shift):
-    return jax.vmap(lambda a: dntt.coset_ntt_lf(a, shift))(x)
+    if dntt._use_matntt(x.shape[2]):
+        from ..ntt import matntt
+
+        return matntt.coset_ntt_batch_lf16(x, shift)
+    with dntt.matntt_suspended():
+        return jax.vmap(lambda a: dntt.coset_ntt_lf(a, shift))(x)
 
 
 def _coset_intt_b(x, shift):
-    return jax.vmap(lambda a: dntt.coset_intt_lf(a, shift))(x)
+    if dntt._use_matntt(x.shape[2]):
+        from ..ntt import matntt
+
+        return matntt.coset_intt_batch_lf16(x, shift)
+    with dntt.matntt_suspended():
+        return jax.vmap(lambda a: dntt.coset_intt_lf(a, shift))(x)
 
 
 def _pad_b(x, n):
@@ -85,10 +116,8 @@ def _commit_batch(srs, stack, c=None, shift=0):
 def prove_batch(index: Index, cs_list: List[ConstraintSystem], rng=None,
                 mesh=None) -> List[Proof]:
     """k proofs under one index; returns one Proof per constraint system
-    (vmapped device stages; the NTT rides the VPU butterfly path — see
-    ntt.matntt_suspended).""" 
-    with dntt.matntt_suspended():
-        return _prove_batch_impl(index, cs_list, rng, mesh)
+    (vmapped device stages; NTTs ride MatNTT's native batch path on TPU)."""
+    return _prove_batch_impl(index, cs_list, rng, mesh)
 
 
 def _prove_batch_impl(index: Index, cs_list: List[ConstraintSystem], rng=None,
