@@ -68,7 +68,7 @@ class TransitionData:
     public_inputs: List[int]          # tag + input IDs + output IDs
     serial_numbers: List[int]         # consumed record serials
     output_commitments: List[int]
-    output_ciphertexts: List[tuple]   # (eph point, [fields]) per new record
+    output_ciphertexts: List["RecordCiphertext"]  # one per created record
     finalize_args: Optional[List]     # host Values for the finalize block
     proof: Optional[bytes]            # serialized SNARK proof (None = dev mode)
     inclusion_proofs: Optional[List] = None  # [(commitment, root, merkle path)]

@@ -240,8 +240,9 @@ def _prove_batch_impl(index: Index, cs_list: List[ConstraintSystem], rng=None,
     sm_c = _coset_ntt_b(_pad_b(s_mask, 4 * n), SHIFT)
     q1_evals = _add_b(sm_c, _sub_b(_mul_b(r_c, s_c), _mul_b(t_c, zf_c)))
     q1_poly = _coset_intt_b(q1_evals, SHIFT)[:, :, : 2 * n + 2]
-    dvv = jax.vmap(lambda a: pl.divide_by_vanishing(a, n))
-    h1_poly, rem = dvv(q1_poly)
+    with dntt.matntt_suspended():   # vmapped helper reaches the NTT
+        dvv = jax.vmap(lambda a: pl.divide_by_vanishing(a, n))
+        h1_poly, rem = dvv(q1_poly)
     g1_poly = rem[:, :, 1:]
 
     D = srs.max_degree
@@ -354,7 +355,8 @@ def _prove_batch_impl(index: Index, cs_list: List[ConstraintSystem], rng=None,
         stacked = jnp.stack([_pad_b(stacks[nm], max_len) for nm in names], axis=2)
         gpows = jax.vmap(lambda z: lf.powers(z, len(names)))(_const_b(xi_list))
         acc = jax.vmap(pl.fold_stack)(stacked, gpows)
-        qy = jax.vmap(pl.divide_by_linear_via_domain)(acc, z_b)
+        with dntt.matntt_suspended():   # vmapped helper reaches the NTT
+            qy = jax.vmap(pl.divide_by_linear_via_domain)(acc, z_b)
         return _commit_batch(srs, qy[0])
 
     w_betas = batch_open(beta_stacks, BETA_POLYS, beta_b, xi1s)
