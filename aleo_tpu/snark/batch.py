@@ -32,7 +32,11 @@ from ..msm import msm as msm_mod
 from ..ntt import ntt as dntt
 from ..pcs import kzg, poly_lf as pl
 from .indexer import Index, z_evaluations
-from .prover import BETA_POLYS, GAMMA_POLYS, Proof, _mask_vh
+from .prover import (
+    BETA_POLYS, GAMMA_POLYS, Proof, _mask_vh,
+    _f_sigma_block, _h0_block, _h2_block, _q1_block, _qx_block,
+    _u_alpha_block, _weighted_sum3,
+)
 from .r1cs import ConstraintSystem
 from .sparse import spmv_lf
 from .transcript import Transcript
@@ -47,6 +51,22 @@ _sub_b = jax.vmap(lf.sub)
 _binv_b = jax.vmap(lf.batch_inv)
 _tsum_b = jax.vmap(lf.tree_sum)
 _eval_b = jax.vmap(pl.eval_coeffs)
+
+
+# Jitted vmapped round blocks (the single prover's elementwise blocks lifted
+# over the proof axis): outside jit every vmapped lf op dispatches its limb
+# primitives eagerly — the r3 batch prover's dominant untracked cost.
+_h0_block_b = jax.jit(jax.vmap(_h0_block, in_axes=(0, 0, 0, None)))
+_qx_block_b = jax.jit(jax.vmap(_qx_block, in_axes=(0, 0, None)))
+_q1_block_b = jax.jit(jax.vmap(_q1_block))
+_u_alpha_block_b = jax.jit(jax.vmap(_u_alpha_block, in_axes=(0, None, 0)))
+_f_sigma_block_b = jax.jit(
+    jax.vmap(_f_sigma_block, in_axes=(None, None, None, None, 0, 0, 0, 0))
+)
+_h2_block_b = jax.jit(
+    jax.vmap(_h2_block, in_axes=(None, None, None, None, 0, 0, 0, 0, 0, None))
+)
+_weighted_sum3_b = jax.jit(jax.vmap(_weighted_sum3, in_axes=(1, 0)))
 
 
 # Batched NTTs: MatNTT has NATIVE batch support (the k axis rides as extra
@@ -176,8 +196,8 @@ def _prove_batch_impl(index: Index, cs_list: List[ConstraintSystem], rng=None,
     za_c = _coset_ntt_b(_pad_b(zm_polys["A"], 4 * n), SHIFT)
     zb_c = _coset_ntt_b(_pad_b(zm_polys["B"], 4 * n), SHIFT)
     zc_c = _coset_ntt_b(_pad_b(zm_polys["C"], 4 * n), SHIFT)
-    vh_inv = pl._coset_vh_inv(4 * n, n, SHIFT)[None]
-    h0_evals = _mul_b(_sub_b(_mul_b(za_c, zb_c), zc_c), jnp.broadcast_to(vh_inv, za_c.shape))
+    vh_inv = pl._coset_vh_inv(4 * n, n, SHIFT)
+    h0_evals = _h0_block_b(za_c, zb_c, zc_c, vh_inv)
     h0_poly = _coset_intt_b(h0_evals, SHIFT)[:, :, : n + 3]
 
     x_pubs = [cs.public_inputs() + [0] * (ell - cs.num_inputs) for cs in cs_list]
@@ -185,8 +205,8 @@ def _prove_batch_impl(index: Index, cs_list: List[ConstraintSystem], rng=None,
     xhat_poly = _intt_b(xhat) if ell > 1 else xhat
     z_c = _coset_ntt_b(_pad_b(z_poly, 2 * n), SHIFT)
     xhat_c = _coset_ntt_b(_pad_b(xhat_poly, 2 * n), SHIFT)
-    vin_inv = pl._coset_vh_inv(2 * n, ell, SHIFT)[None]
-    qx_evals = _mul_b(_sub_b(z_c, xhat_c), jnp.broadcast_to(vin_inv, z_c.shape))
+    vin_inv = pl._coset_vh_inv(2 * n, ell, SHIFT)
+    qx_evals = _qx_block_b(z_c, xhat_c, vin_inv)
     qx_poly = _coset_intt_b(qx_evals, SHIFT)[:, :, : n + 2 - ell]
 
     cms = {}
@@ -214,31 +234,32 @@ def _prove_batch_impl(index: Index, cs_list: List[ConstraintSystem], rng=None,
     # ---- round 2 ------------------------------------------------------------
     dH = dntt.domain(n)
     vh_alphas = [(pow(a, n, R) - 1) % R for a in alphas]
-    alpha_b = _const_b(alphas, n)
-    wpow = jnp.broadcast_to(jnp.asarray(dH.wpow_np).T[None], (k, lf.L, n))
-    denom = _sub_b(alpha_b, wpow)
-    u_alpha = _mul_b(_binv_b(denom), _const_b(vh_alphas, n))
-    t_vec = None
-    for mi in index.matrices:
-        contrib = _mul_b(
-            jax.vmap(lambda x, t=mi.by_col: spmv_lf(t, x))(u_alpha),
-            _const_b(etas[mi.name], n),
-        )
-        t_vec = contrib if t_vec is None else _add_b(t_vec, contrib)
+    u_alpha = _u_alpha_block_b(
+        _const_b(alphas, n), jnp.asarray(dH.wpow_np).T, _const_b(vh_alphas, n)
+    )
+    spmvs = jnp.stack([
+        jax.vmap(lambda x, t=mi.by_col: spmv_lf(t, x))(u_alpha)
+        for mi in index.matrices
+    ])                                              # (3, k, L, n)
+    eta_ws = jnp.stack([_const_b(etas[mi.name]) for mi in index.matrices])
+    t_vec = _weighted_sum3_b(spmvs, jnp.swapaxes(eta_ws, 0, 1))
     t_poly = _intt_b(t_vec)
 
     r_alpha = jax.vmap(lambda z: lf.powers(z, n))(_const_b(alphas))[:, :, ::-1]
-    s_eta = None
-    for mname in ("A", "B", "C"):
-        term = _mul_b(zm_polys[mname], _const_b(etas[mname], zm_polys[mname].shape[2]))
-        s_eta = term if s_eta is None else _add_b(s_eta, term)
+    s_eta = _weighted_sum3_b(
+        jnp.stack([zm_polys[mname] for mname in ("A", "B", "C")]),
+        jnp.swapaxes(
+            jnp.stack([_const_b(etas[mname]) for mname in ("A", "B", "C")]),
+            0, 1,
+        ),
+    )
 
     r_c = _coset_ntt_b(_pad_b(r_alpha, 4 * n), SHIFT)
     s_c = _coset_ntt_b(_pad_b(s_eta, 4 * n), SHIFT)
     t_c = _coset_ntt_b(_pad_b(t_poly, 4 * n), SHIFT)
     zf_c = _coset_ntt_b(_pad_b(z_poly, 4 * n), SHIFT)
     sm_c = _coset_ntt_b(_pad_b(s_mask, 4 * n), SHIFT)
-    q1_evals = _add_b(sm_c, _sub_b(_mul_b(r_c, s_c), _mul_b(t_c, zf_c)))
+    q1_evals = _q1_block_b(sm_c, r_c, s_c, t_c, zf_c)
     q1_poly = _coset_intt_b(q1_evals, SHIFT)[:, :, : 2 * n + 2]
     with dntt.matntt_suspended():   # vmapped helper reaches the NTT
         dvv = jax.vmap(lambda a: pl.divide_by_vanishing(a, n))
@@ -256,51 +277,36 @@ def _prove_batch_impl(index: Index, cs_list: List[ConstraintSystem], rng=None,
 
     # ---- round 3 ------------------------------------------------------------
     vh_betas = [(pow(b, n, R) - 1) % R for b in betas]
-    ab_scale = _const_b([va * vb % R for va, vb in zip(vh_alphas, vh_betas)], m)
-    alpha_beta = _const_b([a * b % R for a, b in zip(alphas, betas)], m)
+    ab_list = [a * b % R for a, b in zip(alphas, betas)]
+    abs_list = [va * vb % R for va, vb in zip(vh_alphas, vh_betas)]
     sigmas = {}
     g2_polys, h2_polys = {}, {}
-    vk_inv = pl._coset_vh_inv(4 * m, m, SHIFT)[None]
+    vk_inv = pl._coset_vh_inv(4 * m, m, SHIFT)
     for mi in index.matrices:
         mn = mi.name.lower()
-        col_e = jnp.broadcast_to(mi.col_evals.T[None], (k, lf.L, m))
-        row_e = jnp.broadcast_to(mi.row_evals.T[None], (k, lf.L, m))
-        rcp_e = jnp.broadcast_to(mi.rcp_evals.T[None], (k, lf.L, m))
-        cval_e = jnp.broadcast_to(mi.cval_evals.T[None], (k, lf.L, m))
-        b_e = _add_b(
-            _sub_b(alpha_beta, _add_b(
-                _mul_b(col_e, _const_b(alphas, m)),
-                _mul_b(row_e, _const_b(betas, m)),
-            )),
-            rcp_e,
+        # index evaluations/polys are SHARED across the batch: the coset
+        # lifts run unbatched, and the jitted vmapped blocks broadcast them
+        f_e, sigma_dev = _f_sigma_block_b(
+            mi.col_evals.T, mi.row_evals.T, mi.rcp_evals.T, mi.cval_evals.T,
+            _const_b(alphas, m), _const_b(betas, m),
+            _const_b(ab_list, m), _const_b(abs_list, m),
         )
-        a_e = _mul_b(cval_e, ab_scale)
-        f_e = _mul_b(a_e, _binv_b(b_e))
         sig = [int(v) for v in lf.decode(
-            jnp.swapaxes(_tsum_b(f_e), 0, 2).reshape(lf.L, k)
+            jnp.swapaxes(sigma_dev, 0, 2).reshape(lf.L, k)
         )]
         sigmas[mi.name] = sig
         f_poly = _intt_b(f_e)
         g2_polys[mn] = f_poly[:, :, 1:]
-        ip = {p: jnp.broadcast_to(getattr(mi, f"{p}_poly").T[None], (k, lf.L, m))
-              for p in ("row", "col", "rcp", "cval")}
-        row_c = _coset_ntt_b(_pad_b(ip["row"], 4 * m), SHIFT)
-        col_c = _coset_ntt_b(_pad_b(ip["col"], 4 * m), SHIFT)
-        rcp_c = _coset_ntt_b(_pad_b(ip["rcp"], 4 * m), SHIFT)
-        cval_c = _coset_ntt_b(_pad_b(ip["cval"], 4 * m), SHIFT)
+        row_c = dntt.coset_ntt_lf(pl.pad_to(mi.row_poly.T, 4 * m), SHIFT)
+        col_c = dntt.coset_ntt_lf(pl.pad_to(mi.col_poly.T, 4 * m), SHIFT)
+        rcp_c = dntt.coset_ntt_lf(pl.pad_to(mi.rcp_poly.T, 4 * m), SHIFT)
+        cval_c = dntt.coset_ntt_lf(pl.pad_to(mi.cval_poly.T, 4 * m), SHIFT)
         f_c = _coset_ntt_b(_pad_b(f_poly, 4 * m), SHIFT)
-        b_c = _add_b(
-            _sub_b(
-                _const_b([a * b % R for a, b in zip(alphas, betas)], 4 * m),
-                _add_b(_mul_b(col_c, _const_b(alphas, 4 * m)),
-                       _mul_b(row_c, _const_b(betas, 4 * m))),
-            ),
-            rcp_c,
+        h2_evals = _h2_block_b(
+            row_c, col_c, rcp_c, cval_c, f_c,
+            _const_b(alphas, 4 * m), _const_b(betas, 4 * m),
+            _const_b(ab_list, 4 * m), _const_b(abs_list, 4 * m), vk_inv,
         )
-        a_c = _mul_b(cval_c, _const_b(
-            [va * vb % R for va, vb in zip(vh_alphas, vh_betas)], 4 * m))
-        num = _sub_b(_mul_b(b_c, f_c), a_c)
-        h2_evals = _mul_b(num, jnp.broadcast_to(vk_inv, num.shape))
         h2_polys[mn] = _coset_intt_b(h2_evals, SHIFT)[:, :, : m - 1]
         cms[f"g2_{mn}"] = _commit_batch(srs, g2_polys[mn])
         cms[f"h2_{mn}"] = _commit_batch(srs, h2_polys[mn])
