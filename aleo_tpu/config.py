@@ -45,6 +45,20 @@ SERVER_PORT = int(_env("ALEO_TPU_SERVER_PORT", "4040"))
 # Raise past every working size (e.g. 1 << 30) to disable MatNTT.
 MATNTT_MIN_N = int(_env("ALEO_TPU_MATNTT_MIN", str(1 << 14)))
 
+# Fixed-base commit MSMs (msm/fixed_base.py): precomputed per-window shifted
+# SRS tables turn every KZG commitment into a single-window bucket pipeline.
+# "auto" = on for TPU commits of >= FIXED_BASE_MIN_N points; "0" disables
+# (variable-base Pippenger per commit, the r1-r4 path).
+FIXED_BASE_MODE = _env("ALEO_TPU_FIXED_BASE", "auto")
+FIXED_BASE_MIN_N = int(_env("ALEO_TPU_FIXED_BASE_MIN", "2048"))
+
+# Batch-affine MSM accumulation (curves/g1_affine.py): ~7 Montgomery muls per
+# bucket add vs 11 for the projective mixed add. "auto" = affine on TPU,
+# projective off-TPU (the CPU einsum path pays per-add Fermat inversions that
+# only the TPU's fused ladder kernel amortizes); "1" forces affine everywhere
+# (the CPU coverage test), "0" forces the r1-r4 projective pipeline (A/B).
+MSM_AFFINE_MODE = _env("ALEO_TPU_MSM_AFFINE", "auto")
+
 
 def enable_compile_cache() -> None:
     """Attach the persistent XLA compile cache (Mosaic/limb-graph compiles

@@ -36,13 +36,13 @@ import jax
 import jax.numpy as jnp
 
 from .. import params
-from ..curves import g1, g1_fused as gf
+from ..curves import g1, g1_affine as ga, g1_fused as gf
 from ..curves.g1 import G1Points
+from ..curves.g1_affine import G1AF
 from ..curves.g1_fused import G1LF
 from ..fields.modring import FR_RING, ints_to_limbs
 
 NBITS = params.R.bit_length()  # 253
-DEFAULT_C = 13
 
 
 def auto_c(n: int) -> int:
@@ -348,6 +348,166 @@ def _accumulate_buckets(
     return acc
 
 
+# ---------------------------------------------------------------------------
+# batch-affine pipeline (default): affine accumulators + shared batch
+# inversion — ~7 Montgomery muls per bucket add vs 11 projective
+# (curves/g1_affine.py; BASELINE.md round-5 lever #1)
+# ---------------------------------------------------------------------------
+
+
+def _use_affine() -> bool:
+    from .. import config
+
+    mode = config.MSM_AFFINE_MODE
+    if mode == "auto":
+        return jax.default_backend() == "tpu"
+    return mode not in ("0", "false")
+
+
+def _accumulate_buckets_af(
+    sorted_entries, table, lane_start, lane_stride, lane_count,
+    merge_masks, src_np, keep_np, m_exp: int,
+) -> G1AF:
+    """Round-robin batch-affine accumulation + top-window merge/reshuffle."""
+    L = table.shape[1] // 2
+    lanes = lane_start.shape[0]
+    max_count = jnp.max(lane_count)
+    acc0 = ga.identity_af(lanes)
+
+    def cond(state):
+        return state[0] < max_count
+
+    def body(state):
+        j, ax, ay, ainf = state
+        pos = jnp.minimum(lane_start + j * lane_stride, m_exp - 1)
+        valid = (j < lane_count).astype(jnp.uint32)
+        entry = sorted_entries[pos]
+        rows = table[entry & jnp.uint32(0x7FFFFFFF)]
+        coords = rows.T
+        px, py = coords[:L], coords[L:]
+        # identity sentinel (0, 0): y == 0 never occurs in the subgroup
+        pinf = (
+            jnp.max(py.astype(jnp.int32), axis=0, keepdims=True) == 0
+        ).astype(jnp.uint32)
+        acc = ga.madd(
+            G1AF(ax, ay, ainf), px, py, pinf,
+            (entry >> 31).astype(jnp.uint32), valid,
+        )
+        return j + 1, acc.x, acc.y, acc.inf
+
+    _, ax, ay, ainf = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), acc0.x, acc0.y, acc0.inf)
+    )
+    acc = G1AF(ax, ay, ainf)
+
+    # merge top-window sub-accumulators (log2(s) masked full-grid adds)
+    shift = 1
+    for mask_np in merge_masks:
+        idx = jnp.minimum(jnp.arange(lanes) + shift, lanes - 1)
+        partner = G1AF(acc.x[:, idx], acc.y[:, idx], acc.inf[:, idx])
+        acc = ga.add_pairs(acc, partner, valid=jnp.asarray(mask_np))
+        shift *= 2
+    if len(merge_masks):
+        src = jnp.asarray(src_np)
+        keep = jnp.asarray(keep_np)[None, :] != 0
+        zero = jnp.zeros_like(acc.x)
+        acc = G1AF(
+            jnp.where(keep, acc.x[:, src], zero),
+            jnp.where(keep, acc.y[:, src], zero),
+            jnp.where(keep, acc.inf[:, src], jnp.uint32(1)),
+        )
+    return acc
+
+
+def _scan_add_buckets_af(p: G1AF, w: int, b: int) -> G1AF:
+    """Hillis-Steele suffix scan along the bucket axis (affine twin)."""
+    L = p.x.shape[0]
+    iota = jnp.arange(b, dtype=jnp.int32)
+
+    def body(d, state):
+        x, y, inf = state
+        s = jnp.int32(1) << d
+        keep = (iota + s < b)[None, None, :]
+
+        def shc(a):
+            r = jnp.roll(a.reshape(L, w, b), -s, axis=2)
+            return jnp.where(keep, r, 0).reshape(L, -1)
+
+        qinf = jnp.where(
+            keep, jnp.roll(inf.reshape(1, w, b), -s, axis=2), jnp.uint32(1)
+        ).reshape(1, -1)
+        r = ga.add_pairs(G1AF(x, y, inf), G1AF(shc(x), shc(y), qinf))
+        return (r.x, r.y, r.inf)
+
+    x, y, inf = jax.lax.fori_loop(
+        0, b.bit_length() - 1, body, (p.x, p.y, p.inf)
+    )
+    return G1AF(x, y, inf)
+
+
+def _tree_sum_axis_af(p: G1AF, L: int, pre: int, b: int, post: int) -> G1AF:
+    """Halving tree reduction over the middle axis, affine twin."""
+    x, y, inf = p.x, p.y, p.inf
+    while b > 1:
+        half = b // 2
+
+        def split(a, rows):
+            a4 = a.reshape(rows, pre, b, post)
+            return (
+                a4[:, :, :half].reshape(rows, -1),
+                a4[:, :, half:].reshape(rows, -1),
+            )
+
+        (xl, xh) = split(x, L)
+        (yl, yh) = split(y, L)
+        (il, ih) = split(inf, 1)
+        s = ga.add_pairs(G1AF(xl, yl, il), G1AF(xh, yh, ih))
+        x, y, inf, b = s.x, s.y, s.inf, half
+    return G1AF(x, y, inf)
+
+
+def _first_bucket_af(p: G1AF, w: int, b: int) -> G1AF:
+    L = p.x.shape[0]
+    return G1AF(
+        p.x.reshape(L, w, b)[:, :, 0],
+        p.y.reshape(L, w, b)[:, :, 0],
+        p.inf.reshape(1, w, b)[:, :, 0],
+    )
+
+
+def _weighted_bucket_sum_af(p: G1AF, w: int, b: int) -> G1AF:
+    """sum_i (i+1) * S_i per window (chunked formulation, affine twin)."""
+    L = p.x.shape[0]
+    if b <= 64:
+        q = _scan_add_buckets_af(p, w, b)
+        q = _scan_add_buckets_af(q, w, b)
+        return _first_bucket_af(q, w, b)
+    g = (b.bit_length() - 1) // 2
+    G = 1 << g
+    H = b // G
+    A = _tree_sum_axis_af(p, L, w * H, G, 1)            # (L, w*H)
+    B = _tree_sum_axis_af(p, L, w, H, G)                # (L, w*G)
+
+    def shift_left(a, rows, fill):
+        a3 = a.reshape(rows, w, H)
+        tail = jnp.full((rows, w, 1), fill, a.dtype)
+        return jnp.concatenate([a3[:, :, 1:], tail], axis=2).reshape(rows, -1)
+
+    A1 = G1AF(
+        shift_left(A.x, L, 0), shift_left(A.y, L, 0),
+        shift_left(A.inf, 1, 1),
+    )
+    X = _scan_add_buckets_af(A1, w, H)
+    X = _scan_add_buckets_af(X, w, H)
+    X = _first_bucket_af(X, w, H)                       # (L, w)
+    Y = _scan_add_buckets_af(B, w, G)
+    Y = _scan_add_buckets_af(Y, w, G)
+    Y = _first_bucket_af(Y, w, G)                       # (L, w)
+    for _ in range(g):                                  # G * X
+        X = ga.double_af(X)
+    return ga.add_pairs(X, Y)
+
+
 @functools.partial(jax.jit, static_argnames=("c",))
 def msm_windows(scalars_raw: jnp.ndarray, table: jnp.ndarray, c: int) -> G1LF:
     """Per-window MSM totals: G1LF with batch axis = window index (W lanes).
@@ -373,6 +533,12 @@ def msm_windows(scalars_raw: jnp.ndarray, table: jnp.ndarray, c: int) -> G1LF:
     lane_start, lane_stride, lane_count, merge_masks, src_np, keep_np, _s = (
         _bucket_grid(sorted_keys, c, w_total, 1, m_exp)
     )
+    if _use_affine():
+        buckets = _accumulate_buckets_af(
+            sorted_entries, table, lane_start, lane_stride, lane_count,
+            merge_masks, src_np, keep_np, m_exp,
+        )
+        return ga.to_lf(_weighted_bucket_sum_af(buckets, w_total, half))
     buckets = _accumulate_buckets(
         sorted_entries, table, lane_start, lane_stride, lane_count,
         merge_masks, src_np, keep_np, m_exp,
@@ -419,6 +585,12 @@ def msm_windows_batch(scalars_raw: jnp.ndarray, table: jnp.ndarray, c: int) -> G
     lane_start, lane_stride, lane_count, merge_masks, src_np, keep_np, _s = (
         _bucket_grid(sorted_keys, c, w_total, k, m_exp)
     )
+    if _use_affine():
+        buckets = _accumulate_buckets_af(
+            sorted_entries, table, lane_start, lane_stride, lane_count,
+            merge_masks, src_np, keep_np, m_exp,
+        )
+        return ga.to_lf(_weighted_bucket_sum_af(buckets, k * w_total, half))
     buckets = _accumulate_buckets(
         sorted_entries, table, lane_start, lane_stride, lane_count,
         merge_masks, src_np, keep_np, m_exp,

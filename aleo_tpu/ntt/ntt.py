@@ -268,34 +268,15 @@ def _norm_j(x):
 
 
 # -- MatNTT dispatch (int8-MXU path for large TPU transforms) ----------------
-
-_matntt_suspended = 0
-
-
-class matntt_suspended:
-    """Context manager: route transforms through the VPU butterfly path.
-
-    Used by callers that vmap the NTT (the batch prover): vmap over the
-    MatNTT Pallas carry kernel inserts a squeezed batch dim that Mosaic's
-    block-shape rules reject. Native batch support in matntt is the planned
-    fix; until then vmapped pipelines take the (slower, vmappable) path.
-    """
-
-    def __enter__(self):
-        global _matntt_suspended
-        _matntt_suspended += 1
-
-    def __exit__(self, *exc):
-        global _matntt_suspended
-        _matntt_suspended -= 1
+# Callers that batch transforms use matntt's native batch API (snark/batch.py
+# _ntt_b and friends); the r4 matntt_suspended escape hatch is gone.
 
 
 def _use_matntt(n: int) -> bool:
     from ..config import MATNTT_MIN_N
 
     return (
-        not _matntt_suspended
-        and jax.default_backend() == "tpu"
+        jax.default_backend() == "tpu"
         and n >= MATNTT_MIN_N
         and n & (n - 1) == 0
     )

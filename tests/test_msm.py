@@ -47,6 +47,55 @@ def test_msm_other_window_size():
     assert msm_host(scalars, pts, c=4) == msm_naive(scalars, pts)
 
 
+def test_msm_batch_affine_forced_cpu(monkeypatch):
+    """Batch-affine accumulation (curves/g1_affine.py) forced on the CPU
+    backend: covers the complete-law cases — duplicate points in one bucket
+    (tangent law), identity sentinel, zero scalar, sign cancellation — that
+    the TPU default path exercises on hardware."""
+    from aleo_tpu import config
+    from aleo_tpu.msm import msm as msm_mod
+
+    monkeypatch.setattr(config, "MSM_AFFINE_MODE", "1")
+    msm_mod.msm_windows.clear_cache()
+    try:
+        G = G1.generator()
+        scalars, pts = _pad(
+            [1, 1, 1, 2, params.R - 1, 7, 255, 256], [G] * 5 + [None, G, G]
+        )
+        assert msm_host(scalars, pts, c=C) == msm_naive(scalars, pts)
+    finally:
+        msm_mod.msm_windows.clear_cache()
+
+
+def test_msm_fixed_base_matches_oracle(rng):
+    """Fixed-base single-window pipeline (msm/fixed_base.py) vs host oracle:
+    table build (device doublings + batched to-affine), zero-padding
+    freeness, identity points, batch variant."""
+    import jax.numpy as jnp
+
+    from aleo_tpu.curves import g1
+    from aleo_tpu.fields.modring import FR_RING, ints_to_limbs
+    from aleo_tpu.msm import fixed_base
+
+    n = 32
+    G = G1.generator()
+    pts = [G1.mul(rng.randrange(1, 5000), G) for _ in range(n)]
+    pts[3] = None                                   # identity base
+    scalars = [rng.randrange(params.R) for _ in range(n)]
+    scalars[1] = 0
+    scalars[7] = params.R - 1
+    ft = fixed_base.build_table(g1.encode_points(pts), c=6)
+    raw = jnp.asarray(ints_to_limbs(scalars, FR_RING.L))
+    assert fixed_base.msm_fixed_host(raw, ft) == msm_naive(scalars, pts)
+
+    k = 2
+    scal_b = [[rng.randrange(params.R) for _ in range(n)] for _ in range(k)]
+    raw_b = jnp.stack([jnp.asarray(ints_to_limbs(s, FR_RING.L)) for s in scal_b])
+    got = fixed_base.msm_fixed_batch_host(raw_b, ft)
+    for p in range(k):
+        assert got[p] == msm_naive(scal_b[p], pts)
+
+
 def test_msm_batch_matches_single(rng):
     """Shared-table multi-MSM (batch.py's commitment path) vs per-proof MSM."""
     import jax.numpy as jnp
