@@ -58,7 +58,7 @@ from ..fields import limb_kernels as lk
 
 DEFAULT_TILE = 512
 _MIN_PAD = 5120
-FERMAT_W = 256      # product-tree root width (one fused Fermat ladder kernel)
+FERMAT_W = 128      # product-tree root width (one fused Fermat ladder kernel)
 
 # case codes (uint32 rows)
 CASE_KEEP = 0       # result = acc (invalid lane / P identity / both identity)
@@ -370,34 +370,51 @@ def _mul_lf(a, b):
     return out[:, :m]
 
 
-def batch_inv_lf(d: jnp.ndarray) -> jnp.ndarray:
+def batch_inv_lf(d: jnp.ndarray, pow2: bool = False) -> jnp.ndarray:
     """Elementwise modular inverse of (L, M) lazy Montgomery values.
 
     Pairwise product tree to <= FERMAT_W lanes, one fused Fermat-ladder
     kernel at the root, pushdown. All lanes MUST be nonzero mod p (the
     prepare kernel guarantees this with its CASE analysis). ~3 muls/lane
     plus the amortized root ladder.
+
+    pow2=True pads the width to a power of two first so the halving tree
+    only touches power-of-two widths — callers with many one-off widths
+    (the fixed-base table builds) use it to bound the Mosaic kernel-shape
+    count; the hot MSM round path keeps exact widths (zero padded work,
+    few shapes).
+
+    Half-split pairing (parent[i] = lo[i] * hi[i] with lo/hi the two
+    contiguous halves): every slice and the pushdown concatenate are
+    contiguous on the lane axis — strided even/odd pairing costs a
+    cross-lane shuffle per level on TPU.
     """
     L, m = d.shape
     if not _use_tpu():
         return _batch_inv_cpu(d)
     levels = []
     cur = d
+    if pow2:
+        m2 = 1 << max(FERMAT_W.bit_length() - 1, (m - 1).bit_length())
+        cur = _pad_one(cur, m2)
     while cur.shape[1] > FERMAT_W:
         w = cur.shape[1]
         if w % 2:
             cur = _pad_one(cur, w + 1)
-            w += 1
-        a, b = cur[:, 0::2], cur[:, 1::2]
+        half = cur.shape[1] // 2
+        a, b = cur[:, :half], cur[:, half:]
         levels.append((a, b))
         cur = _mul_lf(a, b)
     rw = cur.shape[1]
     call, consts = _build_fermat(FERMAT_W)
     inv = call(consts, _pad_one(cur, FERMAT_W))[:, :rw]
     for a, b in reversed(levels):
-        ia = _mul_lf(inv, b)
-        ib = _mul_lf(inv, a)
-        inv = jnp.stack([ia, ib], axis=2).reshape(L, -1)[:, : a.shape[1] * 2]
+        # child inverses [lo_inv | hi_inv] = [parent_inv*b | parent_inv*a]
+        # in ONE fused mul at the children's width
+        inv = _mul_lf(
+            jnp.concatenate([inv, inv], axis=1),
+            jnp.concatenate([b, a], axis=1),
+        )
     return inv[:, :m]
 
 
@@ -533,9 +550,14 @@ def decode_af(p: G1AF):
     from ..fields.modring import FQ_RING, limbs_to_ints
 
     rinv = pow(FQ_RING.R_mod, -1, params.Q)
-    xs = limbs_to_ints(np.asarray(p.x).T)
-    ys = limbs_to_ints(np.asarray(p.y).T)
-    infs = np.asarray(p.inf).reshape(-1)
+    L = p.x.shape[0]
+    # one device->host transfer for both coordinate planes + flags
+    stacked = np.asarray(jnp.concatenate(
+        [p.x, p.y, jnp.broadcast_to(p.inf, (1, p.x.shape[1]))], axis=0
+    ))
+    xs = limbs_to_ints(stacked[:L].T)
+    ys = limbs_to_ints(stacked[L : 2 * L].T)
+    infs = stacked[2 * L]
     out = []
     for x, y, i in zip(xs, ys, infs):
         if i:

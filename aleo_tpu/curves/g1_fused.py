@@ -499,14 +499,20 @@ def to_points(p: G1LF):
 
 
 def decode_lf(p: G1LF):
-    """Device batch (possibly lazy) -> host affine [(x, y) | None]."""
+    """Device batch (possibly lazy) -> host affine [(x, y) | None].
+
+    The three coordinate planes come back in ONE device->host transfer —
+    each np.asarray costs a full tunnel round trip (~20 ms on the axon
+    link), which dominated small readbacks."""
     from .. import params
     from ..fields.modring import FQ_RING, limbs_to_ints
 
     rinv = pow(FQ_RING.R_mod, -1, params.Q)
-    xs = limbs_to_ints(np.asarray(p.x).T)
-    ys = limbs_to_ints(np.asarray(p.y).T)
-    zs = limbs_to_ints(np.asarray(p.z).T)
+    L = p.x.shape[0]
+    all3 = np.asarray(jnp.concatenate([p.x, p.y, p.z], axis=0))
+    xs = limbs_to_ints(all3[:L].T)
+    ys = limbs_to_ints(all3[L : 2 * L].T)
+    zs = limbs_to_ints(all3[2 * L :].T)
     out = []
     for x, y, z in zip(xs, ys, zs):
         x, y, z = (int(x) * rinv) % params.Q, (int(y) * rinv) % params.Q, (

@@ -95,10 +95,14 @@ def hash_batch(rate: int, inputs: jnp.ndarray, domain: str = "AleoPoseidon") -> 
     b, k, L = inputs.shape
     dom = F.const(ref.domain_fe(f"{domain}{rate}"))
     length = F.const(k)
+    # snarkVM hash_many convention: zero state; the preimage
+    # [domain, len, in_0, ...] is absorbed into the rate section
     state = jnp.zeros((b, dp.t, L), dtype=jnp.uint32)
-    state = state.at[:, 0, :].set(jnp.broadcast_to(dom, (b, L)))
-    # absorb: [len, in_0, in_1, ...] in rate-sized chunks
-    elems = jnp.concatenate([jnp.broadcast_to(length, (b, 1, L)), inputs], axis=1)
+    elems = jnp.concatenate([
+        jnp.broadcast_to(dom, (b, 1, L)),
+        jnp.broadcast_to(length, (b, 1, L)),
+        inputs,
+    ], axis=1)
     n = elems.shape[1]
     pos = 0
     for i in range(n):

@@ -364,23 +364,47 @@ def _use_affine() -> bool:
     return mode not in ("0", "false")
 
 
-def _accumulate_buckets_af(
-    sorted_entries, table, lane_start, lane_stride, lane_count,
-    merge_masks, src_np, keep_np, m_exp: int,
-) -> G1AF:
-    """Round-robin batch-affine accumulation + top-window merge/reshuffle."""
+# Overflow balancing: fraction of extra "spare" lanes that adopt the second
+# half of the heaviest buckets' segments. The round-robin trip count is the
+# MAX segment length (Poisson tail ~2x the mean at 2^16/c=12 — measured 64
+# rounds vs mean 32), so splitting just the heavy tail cuts rounds ~40% for
+# ~12% more lanes.
+OVERFLOW_FRAC = 8  # spares = lanes // OVERFLOW_FRAC
+
+
+def run_rounds_af(sorted_entries, table, lane_start, lane_stride,
+                  lane_count, m_exp: int, balance: bool = True) -> G1AF:
+    """Round-robin batch-affine accumulation over a (start, stride, count)
+    lane grid, with tail balancing: the lanes//OVERFLOW_FRAC heaviest
+    segments are split in half, the second halves ride spare lanes, and the
+    spares merge back with one masked add. Shared by the variable-base
+    (msm_windows*) and fixed-base (fixed_base._fixed_windows) pipelines."""
     L = table.shape[1] // 2
     lanes = lane_start.shape[0]
-    max_count = jnp.max(lane_count)
-    acc0 = ga.identity_af(lanes)
+    n_spare = lanes // OVERFLOW_FRAC if balance else 0
+    if n_spare:
+        order = jnp.argsort(-lane_count)
+        tgt = order[:n_spare]                          # heaviest mains
+        is_split = jnp.zeros((lanes,), bool).at[tgt].set(True)
+        h = jnp.where(is_split, (lane_count + 1) // 2, lane_count)
+        all_start = jnp.concatenate(
+            [lane_start, lane_start[tgt] + h[tgt] * lane_stride[tgt]]
+        )
+        all_stride = jnp.concatenate([lane_stride, lane_stride[tgt]])
+        all_count = jnp.concatenate([h, lane_count[tgt] - h[tgt]])
+    else:
+        all_start, all_stride, all_count = lane_start, lane_stride, lane_count
+    total = lanes + n_spare
+    max_count = jnp.max(all_count)
+    acc0 = ga.identity_af(total)
 
     def cond(state):
         return state[0] < max_count
 
     def body(state):
         j, ax, ay, ainf = state
-        pos = jnp.minimum(lane_start + j * lane_stride, m_exp - 1)
-        valid = (j < lane_count).astype(jnp.uint32)
+        pos = jnp.minimum(all_start + j * all_stride, m_exp - 1)
+        valid = (j < all_count).astype(jnp.uint32)
         entry = sorted_entries[pos]
         rows = table[entry & jnp.uint32(0x7FFFFFFF)]
         coords = rows.T
@@ -398,7 +422,28 @@ def _accumulate_buckets_af(
     _, ax, ay, ainf = jax.lax.while_loop(
         cond, body, (jnp.int32(0), acc0.x, acc0.y, acc0.inf)
     )
-    acc = G1AF(ax, ay, ainf)
+    acc = G1AF(ax[:, :lanes], ay[:, :lanes], ainf[:, :lanes])
+    if n_spare:
+        # merge spares back into their buckets: one masked add with a
+        # runtime partner gather (pidx[i] = spare index serving main i)
+        pidx = jnp.zeros((lanes,), jnp.int32).at[tgt].set(
+            jnp.arange(n_spare, dtype=jnp.int32)
+        )
+        sx, sy, sinf = ax[:, lanes:], ay[:, lanes:], ainf[:, lanes:]
+        partner = G1AF(sx[:, pidx], sy[:, pidx], sinf[:, pidx])
+        acc = ga.add_pairs(acc, partner, valid=is_split.astype(jnp.uint32))
+    return acc
+
+
+def _accumulate_buckets_af(
+    sorted_entries, table, lane_start, lane_stride, lane_count,
+    merge_masks, src_np, keep_np, m_exp: int,
+) -> G1AF:
+    """Round-robin batch-affine accumulation + top-window merge/reshuffle."""
+    lanes = lane_start.shape[0]
+    acc = run_rounds_af(
+        sorted_entries, table, lane_start, lane_stride, lane_count, m_exp
+    )
 
     # merge top-window sub-accumulators (log2(s) masked full-grid adds)
     shift = 1

@@ -248,12 +248,18 @@ def commit_many_lf(srs: Srs, polys_lf, c: int | None = None, shift: int = 0):
         assert shift + n_pad <= srs.max_degree + 1
         if _use_fixed_base(n_pad):
             ft = fixed_base.srs_table(srs, n_pad, shift)
-            raw = jnp.stack([
+            k = len(idxs)
+            # pad the group to a power-of-two batch: zero-scalar members add
+            # no digit entries (only sort width), and the (size, k) compile
+            # space collapses to a few shapes per class
+            k_pad = 1 << max(0, (k - 1).bit_length())
+            raws = [
                 _from_mont_lf_j(pl_lf.pad_to(polys_lf[i], n_pad)).T
                 for i in idxs
-            ])
-            prof.counter("kzg/fixed_base_points", n_pad * len(idxs))
-            pts = fixed_base.msm_fixed_batch_host(raw, ft)
+            ]
+            raws += [jnp.zeros_like(raws[0])] * (k_pad - k)
+            prof.counter("kzg/fixed_base_points", n_pad * k)
+            pts = fixed_base.msm_fixed_batch_host(jnp.stack(raws), ft)
             for j, i in enumerate(idxs):
                 out[i] = pts[j]
             continue
@@ -282,7 +288,10 @@ def commit_many_lf(srs: Srs, polys_lf, c: int | None = None, shift: int = 0):
         W = wins[0].x.shape[1]
         import numpy as np
 
-        host = (np.asarray(allw.x), np.asarray(allw.y), np.asarray(allw.z))
+        # one device->host transfer for all three coordinate planes
+        L3 = allw.x.shape[0]
+        stacked = np.asarray(jnp.concatenate([allw.x, allw.y, allw.z], axis=0))
+        host = (stacked[:L3], stacked[L3 : 2 * L3], stacked[2 * L3 :])
         for j, i in enumerate(idxs):
             out[i] = combine_windows_host(
                 gf.G1LF(

@@ -246,12 +246,15 @@ class PoseidonGadget:
         return s
 
     def hash(self, inputs: List[CV], domain: str) -> CV:
-        """In-circuit twin of reference.poseidon.hash_psd."""
+        """In-circuit twin of reference.poseidon.hash_psd (snarkVM hash_many
+        convention: zero state, preimage [domain, len] ++ inputs)."""
         g = self.g
         state = [g.constant(0) for _ in range(self.p.t)]
-        state[0] = g.constant(poseidon.domain_fe(f"{domain}{self.rate}"))
         pos = 0
-        elements = [g.constant(len(inputs))] + inputs
+        elements = [
+            g.constant(poseidon.domain_fe(f"{domain}{self.rate}")),
+            g.constant(len(inputs)),
+        ] + inputs
         for e in elements:
             if pos == self.rate:
                 state = self.permute(state)

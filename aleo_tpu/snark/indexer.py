@@ -146,8 +146,12 @@ def index_r1cs(cs: ConstraintSystem, srs: Srs | None = None, seed: bytes = b"ale
         cval_poly = dntt.intt(cval_ev)
         rcp_poly = dntt.intt(rcp_ev)
         # limbs-first commit path: avoids instantiating the einsum Montgomery
-        # mul on TPU (>100 s of XLA compile per shape — see fields/fr_lf.py)
-        cms = [kzg.commit_lf(srs, p.T) for p in (row_poly, col_poly, cval_poly, rcp_poly)]
+        # mul on TPU (>100 s of XLA compile per shape — see fields/fr_lf.py).
+        # One grouped call: all four index commitments share one fixed-base
+        # pipeline/readback (kzg.commit_many_lf) instead of four.
+        cms = kzg.commit_many_lf(
+            srs, [p.T for p in (row_poly, col_poly, cval_poly, rcp_poly)]
+        )
 
         by_row = build_tables(
             coo_pos, key_of=lambda e: e[0], gather_of=lambda e: e[1], out_size=n,

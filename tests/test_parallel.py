@@ -57,6 +57,17 @@ def test_sharded_ntt_at_size(mesh8):
     assert list(F.decode(out)) == rpoly.ntt(a)
 
 
+def test_sharded_matntt_2e16(mesh8):
+    """2^16 sharded 4-step NTT with the local batched transforms FORCED
+    through MatNTT (the int8-MXU matmul path the TPU composition uses) —
+    VERDICT r4 ask #6. 256 x 256 over 8 shards; host-oracle checked."""
+    rng = random.Random(704)
+    n1 = n2 = 256
+    a = [rng.randrange(R) for _ in range(n1 * n2)]
+    out = pmesh.sharded_ntt(mesh8, F.encode(a), n1, n2, impl="matntt")
+    assert list(F.decode(out)) == rpoly.ntt(a)
+
+
 def test_sharded_msm_at_size(mesh8):
     """2^11-point sharded MSM vs the host Pippenger oracle (256/shard,
     real window/bucket occupancy instead of the r3 toy 4-point shards)."""

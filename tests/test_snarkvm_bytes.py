@@ -70,14 +70,63 @@ def test_srs_blob_roundtrip():
 
 
 def test_key_blobs_roundtrip():
+    """snarkVM 0.14.5 container shapes: CircuitVerifyingKey(circuit_info,
+    circuit_commitments) and CircuitProvingKey(vk, Circuit, CommitterKey)
+    roundtrip with the documented field order."""
     pts = _points(8, seed=3)
-    vk = sb.CircuitVerifyingKeyBlob(n=64, m=128, ell=4, commitments=pts)
-    assert sb.CircuitVerifyingKeyBlob.from_bytes(vk.to_bytes()) == vk
     rng = random.Random(4)
+    info = sb.CircuitInfoBlob(4, 64, 64, 128, 128, 128)
+    vk = sb.CircuitVerifyingKeyBlob(circuit_info=info, circuit_commitments=pts)
+    assert sb.CircuitVerifyingKeyBlob.from_bytes(vk.to_bytes()) == vk
+    # the vk bytes START with the 48-byte u64 size header (field order)
+    assert vk.to_bytes()[:48] == info.to_bytes()
+
+    def fr_vec(n):
+        return [rng.randrange(R) for _ in range(n)]
+
+    arith = sb.MatrixArithmetizationBlob(
+        row=fr_vec(4), col=fr_vec(4), row_col=fr_vec(4), val=fr_vec(4),
+        evals_row=fr_vec(4), evals_col=fr_vec(4), evals_row_col=fr_vec(4),
+        evals_val=fr_vec(4),
+    )
+    mat = sb.MatrixBlob([[(rng.randrange(R), 3), (rng.randrange(R), 7)], []])
+    circuit = sb.CircuitBlob(info, mat, mat, mat, arith, arith, arith)
+    ck = sb.CommitterKeyBlob(
+        powers_of_beta_g=pts,
+        lagrange_bases_at_beta_g=[(8, pts[:2])],
+        powers_of_beta_times_gamma_g=pts[:2],
+        shifted_powers_of_beta_g=pts[:3],
+        shifted_powers_of_beta_times_gamma_g=None,
+        enforced_degree_bounds=[62, 126],
+        max_degree=255,
+    )
     pk = sb.CircuitProvingKeyBlob(
-        vk=vk,
-        committer_powers=pts[:4],
-        index_polys=[[rng.randrange(R) for _ in range(5)] for _ in range(3)],
+        circuit_verifying_key=vk, circuit=circuit, committer_key=ck
     )
     back = sb.CircuitProvingKeyBlob.from_bytes(pk.to_bytes())
     assert back == pk
+    # field order: vk bytes are the prefix of the pk bytes
+    assert pk.to_bytes()[: len(vk.to_bytes())] == vk.to_bytes()
+
+
+def test_key_blobs_from_index():
+    """Serialize a real Index + ConstraintSystem into the snarkVM shapes."""
+    from aleo_tpu.pcs.srs import Srs
+    from aleo_tpu.snark.indexer import index_r1cs
+    from aleo_tpu.snark.r1cs import LC, ConstraintSystem
+
+    cs = ConstraintSystem()
+    out = cs.alloc_input(35)
+    x = cs.alloc_witness(5)
+    x2 = cs.mul(LC.of(x), LC.of(x))
+    cs.enforce_eq(LC.of(x2) + LC.of(x) + LC.constant(5), LC.of(out))
+    srs = Srs.generate(63, seed=b"blob-index-test")
+    index = index_r1cs(cs, srs=srs)
+    pk = sb.CircuitProvingKeyBlob.from_index(index, cs)
+    back = sb.CircuitProvingKeyBlob.from_bytes(pk.to_bytes())
+    assert back == pk
+    assert back.circuit_verifying_key.circuit_commitments == list(
+        index.index_commitments()
+    )
+    assert len(back.circuit.a.rows) == cs.num_constraints
+    assert back.committer_key.max_degree == srs.max_degree
