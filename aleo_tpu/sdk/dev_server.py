@@ -8,7 +8,14 @@ Capability twin of `aleo-development-server`
                             | password, fee, fee_record?}
   POST /testnet3/transfer  {amount, fee, recipient, transfer_type,
                             private_key | password, fee_record?, amount_record?}
+  POST /testnet3/join      {private_key | password, fee}
+  POST /testnet3/split     {private_key | password, split_amount}
   GET  /health
+
+plus the browser-console surface (the reference website's role — see
+`aleo_tpu/sdk/console.py`): GET / serves the static single-page console
+and POST /console/<group>/<op> routes its account/record/advanced
+operations.
 
 Like the reference (lib.rs:171-221), the server can hold a private-key
 ciphertext at startup; per-request keys/passwords override it
@@ -138,6 +145,25 @@ class DevServer:
             prove=self.prove,
         )
 
+    def handle_join(self, body) -> str:
+        """Join two unspent credits records (tabs/develop/Join.jsx; the
+        worker's ALEO_JOIN message picks the records server-side)."""
+        pm, password = self._resolve_manager(body)
+        pk = pm.get_private_key(password)
+        recs = pm.record_finder.find_record_amounts([1, 1], pk)
+        return pm.join(
+            recs[0], recs[1], fee=int(body.get("fee", 0)),
+            password=password, prove=self.prove,
+        )
+
+    def handle_split(self, body) -> str:
+        """Split an unspent credits record (tabs/develop/Split.jsx)."""
+        pm, password = self._resolve_manager(body)
+        pk = pm.get_private_key(password)
+        amount = int(body["split_amount"])
+        rec = pm.record_finder.find_one_record(pk, amount * 2)
+        return pm.split(rec, amount, password=password, prove=self.prove)
+
     # -- node REST surface (GET; blocking.rs:23-178 paths) -------------------
 
     def handle_node_get(self, path: str):
@@ -226,8 +252,20 @@ class DevServer:
                 self.wfile.write(data)
 
             def do_GET(self):
-                if self.path.rstrip("/") in ("/health", ""):
+                if self.path.rstrip("/") == "/health":
                     self._reply(200, "ok")
+                    return
+                if self.path.rstrip("/") in ("", "/console"):
+                    import pathlib
+
+                    page = (
+                        pathlib.Path(__file__).parent / "website" / "index.html"
+                    ).read_bytes()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(page)))
+                    self.end_headers()
+                    self.wfile.write(page)
                     return
                 try:
                     handled, payload = server.handle_node_get(self.path)
@@ -246,13 +284,28 @@ class DevServer:
                     return
                 try:
                     body = json.loads(self.rfile.read(length) or b"{}")
-                    route = self.path.rstrip("/").rsplit("/", 1)[-1]
+                    parts = [p for p in self.path.split("/") if p]
+                    if len(parts) == 3 and parts[0] == "console":
+                        from . import console
+
+                        self._reply(
+                            200,
+                            console.handle(
+                                parts[1], parts[2], body, server.api_client
+                            ),
+                        )
+                        return
+                    route = parts[-1] if parts else ""
                     if route == "deploy":
                         self._reply(200, server.handle_deploy(body))
                     elif route == "execute":
                         self._reply(200, server.handle_execute(body))
                     elif route == "transfer":
                         self._reply(200, server.handle_transfer(body))
+                    elif route == "join":
+                        self._reply(200, server.handle_join(body))
+                    elif route == "split":
+                        self._reply(200, server.handle_split(body))
                     elif route == "broadcast":
                         self._reply(200, server.handle_broadcast(body))
                     else:
