@@ -68,6 +68,39 @@ def test_sharded_matntt_2e16(mesh8):
     assert list(F.decode(out)) == rpoly.ntt(a)
 
 
+def test_sharded_matntt_2e20(mesh8):
+    """2^20-domain sharded 4-step MatNTT (1024 x 1024 over 8 shards) — the
+    config-4 domain size (VERDICT r4 ask #7 "2^20 domain"). The pure-Python
+    host NTT oracle is ~20M modmuls at this size, so correctness is checked
+    by (a) the single-device MatNTT inverse roundtrip (independent twiddle
+    bank, inverse fold, different stage plan) and (b) direct evaluation
+    X[k] = sum_j a_j w^{jk} at random indices against host bigints."""
+    rng = random.Random(705)
+    n1 = n2 = 1024
+    n = n1 * n2
+    a = [rng.randrange(R) for _ in range(n)]
+    enc = F.encode(a)
+    out = pmesh.sharded_ntt(mesh8, enc, n1, n2, impl="matntt")
+
+    from aleo_tpu.ntt import matntt
+
+    back = matntt.intt_lf16(jnp.asarray(out).T.astype(jnp.uint32))
+    got_back = [v % R for v in F.decode(jnp.asarray(back).T)]
+    assert got_back == a
+
+    from aleo_tpu.reference.field import fr_root_of_unity
+
+    w = fr_root_of_unity(n)
+    outs = F.decode(out)
+    for k in random.Random(706).sample(range(n), 3):
+        wk = pow(w, k, R)
+        acc, p = 0, 1
+        for j in range(n):
+            acc = (acc + a[j] * p) % R
+            p = p * wk % R
+        assert outs[k] % R == acc
+
+
 def test_sharded_msm_at_size(mesh8):
     """2^11-point sharded MSM vs the host Pippenger oracle (256/shard,
     real window/bucket occupancy instead of the r3 toy 4-point shards)."""
