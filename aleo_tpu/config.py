@@ -49,8 +49,23 @@ MATNTT_MIN_N = int(_env("ALEO_TPU_MATNTT_MIN", str(1 << 14)))
 # SRS tables turn every KZG commitment into a single-window bucket pipeline.
 # "auto" = on for TPU commits of >= FIXED_BASE_MIN_N points; "0" disables
 # (variable-base Pippenger per commit, the r1-r4 path).
-FIXED_BASE_MODE = _env("ALEO_TPU_FIXED_BASE", "auto")
+#
+# DEFAULT OFF (r5): with the fixed-base path enabled, the simple_token
+# transfer proof fails its g2_shift_a degree-bound pairing check on TPU,
+# while every isolated oracle check of the same machinery passes
+# (variable/fixed, shifts, clamped non-pow2 sizes, batched groups at
+# 2048-8192 — see BASELINE.md "fixed-base status"). Until the failing
+# (n=32767, k=4, shift=3) commit-group case is root-caused, proofs ride
+# the r4-proven variable-base pipeline; set ALEO_TPU_FIXED_BASE=auto to
+# re-enable for debugging.
+FIXED_BASE_MODE = _env("ALEO_TPU_FIXED_BASE", "0")
 FIXED_BASE_MIN_N = int(_env("ALEO_TPU_FIXED_BASE_MIN", "2048"))
+
+# Fused Montgomery-reduce Pallas kernel for the MatNTT stage chain
+# (fields/fmat_pallas.mont_reduce8): the whole carry/Wnp/carry/Wp/add/carry
+# chain in one VMEM pass (~5x less reduce HBM traffic). The body is
+# CPU-validated bit-exact (tests/test_fmat.py); "1" enables on TPU.
+FUSED_REDUCE = _env("ALEO_TPU_FUSED_REDUCE", "1") not in ("0", "false")
 
 # Batch-affine MSM accumulation (curves/g1_affine.py): ~7 Montgomery muls per
 # bucket add vs 11 for the projective mixed add. "auto" = affine on TPU,

@@ -190,7 +190,19 @@ def mont_reduce_cols(t_cols: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     limb-major), so the N'/p reduction matmuls contract just the limb axis
     with the globally shared Wnp/Wp band matrices. Returns int8 limbs
     (L7 along `axis`), values < 1.1p.
+
+    On TPU the whole chain (3 carries + 2 small constant matmuls) runs as
+    ONE fused Pallas kernel (fmat_pallas.mont_reduce8): the chain is the
+    HBM-bound part of every MatNTT stage, and fusing it is the round-5
+    stage-traffic lever (BASELINE.md).
     """
+    if t_cols.ndim == 2 and axis == 0 and jax.default_backend() == "tpu":
+        from ..config import FUSED_REDUCE
+
+        if FUSED_REDUCE:
+            from . import fmat_pallas
+
+            return fmat_pallas.mont_reduce8(t_cols)
     Wnp, Wp = _reduce_mats()
     t_lo = jax.lax.slice_in_dim(
         _dispatch_carry8(t_cols, 4, axis), 0, L7, axis=axis

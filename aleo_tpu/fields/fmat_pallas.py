@@ -77,6 +77,68 @@ def _build_3d(B: int, K: int, T_pad: int, peels: int, tile: int):
     )
 
 
+# ---------------------------------------------------------------------------
+# Fused Montgomery reduction (round-5 lever: BASELINE.md "fuse the MatNTT
+# stage chain"). fmat.mont_reduce_cols as plain XLA is five HBM round trips
+# per stage (carry -> Wnp dot -> carry -> Wp dot+add -> carry), each
+# materializing a (K7, M)-class tensor; this kernel runs the whole chain in
+# VMEM: one (K7, M) int32 read + one (L7, M) int8 write (~5x less reduce
+# traffic). Wnp/Wp are 38x38 / 76x38 int8 constants contracted on the MXU
+# via exact f32 FMAs (products <= 127*127*38 < 2^24, exactly representable).
+# ---------------------------------------------------------------------------
+
+
+def _reduce_body(x: jnp.ndarray, Wnp: jnp.ndarray, Wp: jnp.ndarray):
+    """(K7, T) int32 raw conv columns -> (L7, T) int8 reduced limbs."""
+    t8 = _carry_body(x, 4)
+    t_lo = t8[: fmat.L7].astype(jnp.float32)
+    m_cols = jax.lax.dot_general(
+        Wnp.astype(jnp.float32), t_lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    m = _carry_body(m_cols, 3).astype(jnp.float32)
+    u_cols = jax.lax.dot_general(
+        Wp.astype(jnp.float32), m, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32) + x
+    return _carry_body(u_cols, 4)[fmat.L7 :]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_reduce_2d(M_pad: int):
+    K7, L7 = fmat.K7, fmat.L7
+
+    def kernel(x_ref, wnp_ref, wp_ref, o_ref):
+        o_ref[:] = _reduce_body(x_ref[:], wnp_ref[:], wp_ref[:])
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L7, M_pad), jnp.int8),
+        grid=(M_pad // TILE,),
+        in_specs=[
+            pl.BlockSpec((K7, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L7, L7), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K7, L7), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L7, TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+
+
+def mont_reduce8(t_cols: jnp.ndarray) -> jnp.ndarray:
+    """Fused fmat.mont_reduce_cols for the 2D limb-leading layout:
+    (K7, M) int32 -> (L7, M) int8, values < 1.1p."""
+    Wnp, Wp = fmat._reduce_mats()
+    x, n = _pad_last(t_cols, TILE)
+    out = _build_reduce_2d(x.shape[1])(
+        x, jnp.asarray(Wnp), jnp.asarray(Wp)
+    )
+    return out[:, :n]
+
+
 def _pad_last(x, mult):
     n = x.shape[-1]
     pad = (-n) % mult

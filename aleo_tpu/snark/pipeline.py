@@ -285,7 +285,9 @@ def prove_execution(
     )
 
 
-def verify_execution(keys_or_vk, ep: ExecutionProof) -> bool:
-    """Verify a proven transition (`Trace::verify_execution_proof` twin)."""
+def verify_execution(keys_or_vk, ep: ExecutionProof, debug: bool = False) -> bool:
+    """Verify a proven transition (`Trace::verify_execution_proof` twin).
+
+    debug=True names the failed verifier check on stdout (snark/verifier.py)."""
     vk = keys_or_vk.vk if isinstance(keys_or_vk, FunctionKeys) else keys_or_vk
-    return verify(vk, ep.public_inputs, ep.proof)
+    return verify(vk, ep.public_inputs, ep.proof, debug=debug)

@@ -97,18 +97,25 @@ def bench_msm(detail):
     detail["msm_2e16_ms"] = round(msm_s * 1e3, 2)
     detail["msm_compile_s"] = round(compile_s, 1)
 
-    # achieved-vs-peak utilization (the MFU analog for Pippenger): u32
-    # multiplies streamed through the VPU vs the chip's measured standalone
-    # u32-multiply rate (~31 G/s, tools/probe_mxu.py). Model: bucket adds =
-    # W*N digit entries, ~7 Montgomery muls per batch-affine add, ~1440 u32
-    # muls per 24-limb Montgomery mul; reduction adds ~ 3 * W * 2^(c-1).
+    # achieved-vs-peak utilization (the MFU analog for Pippenger): counted
+    # u32 multiplies through the VPU per second. Count model: bucket adds =
+    # W*N digit entries, ~7 Montgomery muls per batch-affine add (3 formula
+    # muls + ~3 batch-inversion tree muls + ladder amortization,
+    # curves/g1_affine.py), ~1728 u32 muls per 24-limb Fq Montgomery mul
+    # (three 24-wide convolutions, limb_kernels.mont_mul); reduction adds
+    # ~ 3 * W * 2^(c-1). Peak reference: the VPU's ~0.9 T int-op/s
+    # (8x128x8 ALUs) at ~4 ops per 32-bit multiply -> ~225 G u32-mul/s
+    # theoretical ceiling. (The 31 G/s tools/probe_mxu.py figure quoted in
+    # r4 was an HBM-bound streaming microbench, not a VPU ceiling — the
+    # in-VMEM fused kernels exceed it.)
     W = -(-254 // c)
     adds = W * MSM_N + 3 * W * (1 << (c - 1))
-    u32_rate = adds * 7 * 1440 / msm_s
+    u32_rate = adds * 7 * 1728 / msm_s
     detail["msm_u32_mul_g_per_s"] = round(u32_rate / 1e9, 1)
-    detail["msm_vpu_util_pct"] = round(100 * u32_rate / 31e9, 1)
-    log(f"MSM utilization: ~{u32_rate/1e9:.1f} G u32-mul/s "
-        f"(~{100*u32_rate/31e9:.0f}% of the 31 G/s measured VPU mul rate)")
+    detail["msm_vpu_util_pct"] = round(100 * u32_rate / 225e9, 1)
+    log(f"MSM utilization: ~{u32_rate/1e9:.1f} G counted u32-mul/s "
+        f"(~{100*u32_rate/225e9:.0f}% of the ~225 G/s theoretical VPU "
+        f"multiply ceiling)")
 
     # batched multi-MSM throughput (shared table, k=4 — the per-round
     # commit-group shape of the prover)
@@ -237,7 +244,7 @@ def bench_proof(detail):
     ok = pipeline.verify_execution(keys, ep)
     log(f"verify: {ok}")
     if not ok:
-        raise SystemExit("proof did not verify")
+        raise RuntimeError("proof did not verify")
     iters = 2
     t0 = time.time()
     for i in range(iters):
@@ -280,7 +287,7 @@ def bench_batch_proof(detail, keys, reg, sender, receiver):
                 for cs, pf in zip(cs_list, proofs)
             ]
             if not all(oks):
-                raise SystemExit(f"batch k={k} proofs did not verify")
+                raise RuntimeError(f"batch k={k} proofs did not verify")
             t0 = time.time()
             proofs = prove_batch(keys.index, cs_list)
             batch_s = time.time() - t0
